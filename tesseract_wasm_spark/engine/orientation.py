@@ -1,0 +1,75 @@
+"""P10 — orientation detection (0/90/180/270 degrees clockwise).
+
+The reference detects orientation with Leptonica's ``pixOrientDetect`` on the
+thresholded image — ascender/descender asymmetry of Latin text — because
+Tesseract's own OSD needs the legacy engine that is compiled out (reference:
+src/lib.cpp:242-288, comment at 243-249). Its decision tree, reproduced here
+exactly (src/lib.cpp:270-287):
+
+    if |up_conf| - |left_conf| > 5.0:  rotation = 0 if up_conf > 0 else 180
+    else:                              rotation = 90 if left_conf > 0 else 270
+
+with confidence 1 on success and {rotation 0, confidence 0} on detection
+failure (src/lib.cpp:264-268).
+
+Our up/left confidences: segment the ink mask (and its 90°-CCW rotation) into
+text lines; for lines whose band height is plausible for a single text line,
+count ink above the x-height band (ascenders) vs below the baseline
+(descenders): score = (asc - desc) / sqrt(asc + desc), Leptonica's z-score
+shape — evidence grows with page size. English text has far more ascender than
+descender ink, so the upright axis scores strongly positive, the 180° flip
+strongly negative, and a sideways page — whose y-band "lines" are implausibly
+short — scores ~0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tesseract_wasm_spark.engine.components import label_components
+from tesseract_wasm_spark.engine.segment import segment
+from tesseract_wasm_spark.font import BASELINE_ROW, CELL_H, XHEIGHT_TOP
+
+DECISION_MARGIN = 5.0  # reference: src/lib.cpp:280 "fabs(up_confidence) - fabs(left_confidence) > 5.0"
+MIN_VALID_INK_FRACTION = 0.5
+MIN_LINE_HEIGHT = CELL_H - XHEIGHT_TOP  # 8: a line with at least one ascender
+MAX_LINE_HEIGHT = CELL_H  # 11: full ascender+descender band
+
+
+def updown_score(mask: np.ndarray) -> float:
+    comps = label_components(mask)
+    if comps.n == 0:
+        return 0.0
+    lines = segment(comps)
+    total_ink = int(comps.area.sum())
+    asc = desc = 0
+    valid_ink = 0
+    for line in lines:
+        height = line.bottom - line.top + 1
+        if not (MIN_LINE_HEIGHT <= height <= MAX_LINE_HEIGHT) or len(line.words) < 2:
+            continue
+        xheight_top = line.baseline - (BASELINE_ROW - XHEIGHT_TOP)  # baseline - 4
+        for word in line.words:
+            for ci in word.comp_idx:
+                t, b = int(comps.top[ci]), int(comps.bottom[ci])
+                l, r = int(comps.left[ci]), int(comps.right[ci])
+                sub = mask[t : b + 1, l : r + 1]
+                rows = sub.sum(axis=1)
+                row_idx = np.arange(t, b + 1)
+                asc += int(rows[row_idx < xheight_top].sum())
+                desc += int(rows[row_idx > line.baseline].sum())
+                valid_ink += int(rows.sum())
+    if total_ink == 0 or valid_ink / total_ink < MIN_VALID_INK_FRACTION:
+        return 0.0
+    return float((asc - desc) / np.sqrt(asc + desc + 1.0))
+
+
+def detect_orientation(mask: np.ndarray) -> tuple[int, float]:
+    """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0})."""
+    up_conf = updown_score(mask)
+    left_conf = updown_score(np.rot90(mask, k=1))  # CCW: upright iff page is 90° CW
+    if max(abs(up_conf), abs(left_conf)) < 1.0:
+        return 0, 0.0  # detection failed (reference: src/lib.cpp:264-268)
+    if abs(up_conf) - abs(left_conf) > DECISION_MARGIN:
+        return (0 if up_conf > 0 else 180), 1.0
+    return (90 if left_conf > 0 else 270), 1.0

@@ -1,0 +1,130 @@
+"""Per-page orchestration: DRF bytes -> PageResult.
+
+This is the pure-Python core that the Spark ``mapInPandas`` UDF batches over
+(pipeline.py). It reproduces the reference engine's observable result surface
+(SURVEY.md §2.2):
+
+  - OCR words with rect / flags / confidence / text (getTextBoxes —
+    reference: src/ocr-engine.ts:255-267, src/lib.cpp:291-323)
+  - layout-only boxes without text (getBoundingBoxes — src/lib.cpp:197-203);
+    the cheap path that skips recognition entirely
+  - page text: line texts (each with trailing "\\n") concatenated in reading
+    order (getText — src/lib.cpp:211-214; trailing-\\n pinned by reference
+    test/ocr-engine-test.js:199-206)
+  - orientation (getOrientation — src/lib.cpp:242-288)
+  - error-as-value: a malformed page yields PageResult.error instead of an
+    exception (the reference returns OCRResult{error} across the WASM boundary,
+    src/lib.cpp:70-75; at 10^12-document scale a bad row must not kill the job)
+
+Reference quirk reproduced exactly (test/ocr-engine-test.js:211-229): an empty
+page yields 0 layout boxes but exactly one OCR text box with an all-zero rect
+and empty text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tesseract_wasm_spark import drf
+from tesseract_wasm_spark.engine.components import label_components
+from tesseract_wasm_spark.engine.orientation import detect_orientation
+from tesseract_wasm_spark.engine.otsu import binarize
+from tesseract_wasm_spark.engine.recognize import recognize_words
+from tesseract_wasm_spark.engine.segment import segment
+
+START_OF_LINE = 1  # reference: src/lib.cpp:19-24 LayoutFlags
+END_OF_LINE = 2
+
+
+@dataclass
+class WordBox:
+    word_id: int
+    line_id: int
+    left: int
+    top: int
+    right: int
+    bottom: int
+    flags: int
+    confidence: float
+    text: str
+    baseline: int
+
+
+@dataclass
+class PageResult:
+    width: int = 0
+    height: int = 0
+    error: str | None = None
+    rotation: int = 0
+    orient_confidence: float = 0.0
+    words: list[WordBox] = field(default_factory=list)
+    layout_boxes: list[tuple[int, int, int, int, int]] = field(default_factory=list)
+    page_text: str = ""
+
+
+def process_page(payload: bytes, *, with_text: bool = True, with_orientation: bool = True) -> PageResult:
+    try:
+        rgba = drf.decode(payload)
+    except ValueError as exc:
+        return PageResult(error=str(exc))
+    return process_rgba(rgba, with_text=with_text, with_orientation=with_orientation)
+
+
+def process_rgba(rgba: np.ndarray, *, with_text: bool = True, with_orientation: bool = True) -> PageResult:
+    h, w = rgba.shape[:2]
+    res = PageResult(width=w, height=h)
+    mask = binarize(rgba)
+    comps = label_components(mask)
+    lines = segment(comps)
+
+    # layout-only boxes (P4): available without recognition; empty page -> 0
+    for line in lines:
+        for word in line.words:
+            flags = 0
+            res.layout_boxes.append((word.left, word.top, word.right, word.bottom, flags))
+
+    if with_orientation:
+        res.rotation, res.orient_confidence = detect_orientation(mask)
+
+    if not with_text:
+        return res
+
+    if not lines:
+        # reference quirk: single all-zero, empty-text box for an empty image
+        res.words.append(WordBox(0, 0, 0, 0, 0, 0, START_OF_LINE | END_OF_LINE, 0.0, "", 0))
+        res.page_text = ""
+        return res
+
+    recognized = recognize_words(mask, lines)
+    wid = 0
+    text_lines: list[str] = []
+    for li, line in enumerate(lines):
+        word_texts: list[str] = []
+        for wi, word in enumerate(line.words):
+            text, conf = recognized[li][wi]
+            flags = 0
+            if wi == 0:
+                flags |= START_OF_LINE
+            if wi == len(line.words) - 1:
+                flags |= END_OF_LINE
+            res.words.append(
+                WordBox(
+                    word_id=wid,
+                    line_id=li,
+                    left=word.left,
+                    top=word.top,
+                    right=word.right,
+                    bottom=word.bottom,
+                    flags=flags,
+                    confidence=conf,
+                    text=text,
+                    baseline=line.baseline,
+                )
+            )
+            word_texts.append(text)
+            wid += 1
+        text_lines.append(" ".join(word_texts) + "\n")
+    res.page_text = "".join(text_lines)
+    return res

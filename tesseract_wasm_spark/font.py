@@ -1,0 +1,141 @@
+"""Deterministic bitmap glyph font for the synthetic page corpus.
+
+The reference OCR engine recognizes glyphs rendered by real-world fonts via a
+trained LSTM (reference: src/lib.cpp:325-336 ``Recognize``). This environment
+has no trained model or image codecs, so the project's byte-identity contract
+(BASELINE.json: "byte-identical extracted text per url") is held against pages
+rendered by *this* font: rendering is a pure function of (text, layout params),
+and the recognizer inverts it exactly.
+
+Font geometry (all glyphs monospace):
+  - cell: CELL_W x CELL_H = 5 x 11 pixels of ink area, advance ADV = 6
+    (one guaranteed-blank column between adjacent glyphs, so connected
+    components never merge across glyphs).
+  - vertical classes mirror Latin typography so that orientation detection
+    (ascender/descender asymmetry — reference src/lib.cpp:242-288, based on
+    Leptonica pixOrientDetect) has real signal:
+      * capitals / digits / most symbols: rows 0..7  (ascender region + x-height)
+      * lowercase x-height:               rows 3..7
+      * lowercase ascenders (bdfhklt):    rows 0..7
+      * lowercase descenders (gjpqy):     rows 3..10
+    Baseline sits at the bottom edge of row BASELINE_ROW = 7.
+  - every glyph is a single 4-connected component, has ink in column 0 of its
+    cell (so a word's ink-left equals its pen position) and ink in the top and
+    bottom row of its class range (so component bottoms identify the baseline).
+
+Glyph ink patterns are derived from SHA-256 of the character (salted on the
+rare collision), grown as a connected region from a left-column spine — fully
+deterministic, no randomness at run time, and verified unique in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+CELL_W = 5
+CELL_H = 11
+ADV = CELL_W + 1  # glyph advance in px; column CELL_W of each cell is blank
+BASELINE_ROW = 7  # ink rows 0..7 above/at baseline; 8..10 are descender rows
+ASC_TOP = 0
+XHEIGHT_TOP = 3
+DESC_BOTTOM = CELL_H - 1
+
+_LOWER_ASC = set("bdfhklt")
+_LOWER_DESC = set("gjpqy")
+
+#: Characters the font (and therefore the recognizer) supports.
+PRINTABLE = "".join(chr(c) for c in range(32, 127))
+
+#: Emitted for an observed glyph cell that matches no template (can only
+#: happen on non-font input such as rotated pages); mirrors Unicode U+FFFD.
+REPLACEMENT_CHAR = "�"
+
+
+def _class_range(ch: str) -> tuple[int, int]:
+    """(top_row, bottom_row) inclusive of the glyph's ink within its cell."""
+    if ch.isupper() or ch.isdigit():
+        return ASC_TOP, BASELINE_ROW
+    if ch.islower():
+        if ch in _LOWER_DESC:
+            return XHEIGHT_TOP, DESC_BOTTOM
+        if ch in _LOWER_ASC:
+            return ASC_TOP, BASELINE_ROW
+        return XHEIGHT_TOP, BASELINE_ROW
+    # punctuation / symbols: full ascender range keeps them visually distinct
+    return ASC_TOP, BASELINE_ROW
+
+
+def _grow_glyph(ch: str, salt: int) -> np.ndarray:
+    """Deterministic connected ink pattern for one glyph.
+
+    Start from a full-height spine in column 0 of the class range, then keep
+    the hash-selected pixels that are 4-connected to the spine.
+    """
+    top, bottom = _class_range(ch)
+    h = bottom - top + 1
+    digest = hashlib.sha256(f"glyph:{ch}:{salt}".encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+    # candidate ink: spine col 0 always on; cols 1..CELL_W-1 from hash bits
+    cand = np.zeros((h, CELL_W), dtype=bool)
+    cand[:, 0] = True
+    need = h * (CELL_W - 1)
+    body = bits[:need].astype(bool).reshape(h, CELL_W - 1)
+    cand[:, 1:] = body
+    # flood from the spine, 4-connectivity, keep only reachable ink
+    keep = np.zeros_like(cand)
+    keep[:, 0] = True
+    frontier = keep.copy()
+    while frontier.any():
+        nxt = np.zeros_like(keep)
+        nxt[1:, :] |= frontier[:-1, :]
+        nxt[:-1, :] |= frontier[1:, :]
+        nxt[:, 1:] |= frontier[:, :-1]
+        nxt[:, :-1] |= frontier[:, 1:]
+        nxt &= cand & ~keep
+        keep |= nxt
+        frontier = nxt
+    cell = np.zeros((CELL_H, CELL_W), dtype=bool)
+    cell[top : bottom + 1, :] = keep
+    return cell
+
+
+@lru_cache(maxsize=1)
+def glyph_table() -> dict[str, np.ndarray]:
+    """char -> CELL_H x CELL_W bool ink bitmap; unique per char by construction."""
+    table: dict[str, np.ndarray] = {}
+    seen: dict[bytes, str] = {}
+    for ch in PRINTABLE:
+        if ch == " ":
+            continue
+        salt = 0
+        while True:
+            cell = _grow_glyph(ch, salt)
+            key = cell.tobytes()
+            if key not in seen:
+                seen[key] = ch
+                table[ch] = cell
+                break
+            salt += 1  # pragma: no cover - collisions are astronomically rare
+    return table
+
+
+@lru_cache(maxsize=1)
+def template_matrix() -> tuple[np.ndarray, str]:
+    """(T, chars): T is [n_glyphs, CELL_H*CELL_W] bool, row i = chars[i].
+
+    Used by the recognizer for batched exact/nearest matching via matmul.
+    """
+    table = glyph_table()
+    chars = "".join(table.keys())
+    mat = np.stack([table[c].reshape(-1) for c in chars])
+    return mat, chars
+
+
+def glyph_ink_width(ch: str) -> int:
+    """Rightmost ink column + 1 (used to compute word ink widths in tests)."""
+    cell = glyph_table()[ch]
+    cols = np.flatnonzero(cell.any(axis=0))
+    return int(cols[-1]) + 1 if cols.size else 0

@@ -1,0 +1,102 @@
+"""Synthetic page rasterizer — renders text into DRF page images.
+
+Plays the role of the reference's test fixtures (`test/small-test-page.jpg`,
+`test/test-page.jpg` — real scanned pages): a deterministic, pure-numpy
+renderer whose output the OCR pipeline must invert byte-identically.
+
+Layout model:
+  - fixed margins, fixed line pitch (CELL_H + LINE_GAP)
+  - pen x advances ADV per character (space = one blank advance)
+  - ink is near-black on near-white, so Otsu binarization has a bimodal
+    histogram to split (reference pipeline stage P1, SURVEY.md §2.2)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tesseract_wasm_spark import drf
+from tesseract_wasm_spark.font import ADV, BASELINE_ROW, CELL_H, CELL_W, glyph_table
+
+MARGIN = 8
+LINE_GAP = 7
+LINE_PITCH = CELL_H + LINE_GAP
+
+INK = 20  # ink gray level
+PAPER = 245  # paper gray level
+
+
+def render_page(lines: list[str], *, rot: int = 0) -> np.ndarray:
+    """Render text lines to uint8[H, W, 4] RGBA. ``rot`` in {0,90,180,270}
+    rotates the page content clockwise (mirrors the reference's metamorphic
+    orientation test, test/ocr-engine-test.js:340-352, which rotates the
+    fixture with sharp before calling getOrientation)."""
+    table = glyph_table()
+    n_cols = max((len(ln) for ln in lines), default=0)
+    w = 2 * MARGIN + max(1, n_cols * ADV)
+    h = 2 * MARGIN + max(1, len(lines) * LINE_PITCH - LINE_GAP)
+    img = np.full((h, w), PAPER, dtype=np.uint8)
+    for i, line in enumerate(lines):
+        top = MARGIN + i * LINE_PITCH
+        for j, ch in enumerate(line):
+            if ch == " " or ch not in table:
+                continue
+            x = MARGIN + j * ADV
+            cell = table[ch]
+            block = img[top : top + CELL_H, x : x + CELL_W]
+            block[cell] = INK
+    if rot:
+        img = np.rot90(img, k=(-rot // 90) % 4)  # numpy rot90 is CCW; rot is CW
+    rgba = np.empty((*img.shape, 4), dtype=np.uint8)
+    rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = img
+    rgba[..., 3] = 255
+    return rgba
+
+
+def render_page_drf(lines: list[str], *, rot: int = 0) -> bytes:
+    return drf.encode(render_page(lines, rot=rot))
+
+
+def empty_page(w: int, h: int) -> np.ndarray:
+    """All-white page (reference emptyImage(), test/ocr-engine-test.js:33-44)."""
+    rgba = np.full((h, w, 4), 255, dtype=np.uint8)
+    return rgba
+
+
+def expected_word_boxes(lines: list[str]) -> list[dict]:
+    """Ground-truth word geometry for golden tests — computed from layout
+    constants, independent of the OCR pipeline."""
+    from tesseract_wasm_spark.font import glyph_ink_width, _class_range  # noqa: PLC0415
+
+    out = []
+    for li, line in enumerate(lines):
+        top_of_line = MARGIN + li * LINE_PITCH
+        words = _split_words(line)
+        for wi, (start_col, word) in enumerate(words):
+            left = MARGIN + start_col * ADV
+            right = left + (len(word) - 1) * ADV + glyph_ink_width(word[-1]) - 1
+            tops = [_class_range(c)[0] for c in word]
+            bots = [_class_range(c)[1] for c in word]
+            out.append(
+                {
+                    "line_id": li,
+                    "word_id": wi,
+                    "text": word,
+                    "left": left,
+                    "top": top_of_line + min(tops),
+                    "right": right,
+                    "bottom": top_of_line + max(bots),
+                    "baseline": top_of_line + BASELINE_ROW,
+                }
+            )
+    return out
+
+
+def _split_words(line: str) -> list[tuple[int, str]]:
+    words = []
+    col = 0
+    for token in line.split(" "):
+        if token:
+            words.append((col, token))
+        col += len(token) + 1
+    return words

@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Maps the reference's execution-environment setup (worker creation + WASM
+instantiation — reference: src/ocr-client.ts:66-114, src/ocr-engine.ts:383-401)
+to SparkSession construction. Arrow settings mirror the reference's
+peak-memory discipline (bounded WASM heap, staging buffers freed eagerly —
+reference: Makefile:161-173, src/ocr-engine.ts:186-203): page payloads are
+megabytes each, so Arrow batches are kept small to bound executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tesseract-wasm-spark",
+    *,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(32, cores)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # page payloads are large binaries: small Arrow batches bound memory
+        # (O6 in SURVEY.md §4 — the reference caps its heap at 1 GB)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
