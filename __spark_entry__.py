@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query — run the full OCR extraction pipeline on the
+deterministic fixture corpus and return the per-url extracted text joined
+against ground truth with a byte-identity verdict column.
+
+queries()/oracle_sql(): see tesseract_wasm_spark/queries.py (registry with
+per-entry reference citations).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> ocr_pages -> per-url text, verified byte-identical
+    against the corpus ground truth (the north-rule invariant)."""
+    from tesseract_wasm_spark.fixtures import fixtures_df
+    from tesseract_wasm_spark.outputs import page_text_df
+    from tesseract_wasm_spark.pipeline import ocr_pages
+
+    pages = fixtures_df(spark, n_corpus_pages=16)
+    results = ocr_pages(pages)
+    texts = page_text_df(results)
+    truth = pages.select("url", F.col("text").alias("expected_text"))
+    return (
+        texts.join(truth, "url")
+        .withColumn("byte_identical", F.col("text_out") == F.col("expected_text"))
+        .select("url", "text_out", "byte_identical")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tesseract_wasm_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tesseract_wasm_spark.queries import oracle_sql as _o
+
+    return _o()

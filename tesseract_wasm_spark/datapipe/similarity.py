@@ -1,0 +1,153 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+  - brute_force_topk: exact cosine top-k. The query side is tiny and
+    broadcast; the corpus side streams through one whole-stage-codegen
+    projection (zip_with dot product) — the correctness baseline.
+  - cosine_pairs_blocked: all near-pairs within coarse blocks (here: label,
+    standing in for an IVF cell id) — the IVF-style scale path: quadratic only
+    within cells.
+  - ivf_topk: two-stage IVF — assign every vector to its nearest centroid
+    (vectorized pandas UDF, one matmul per batch), then search only the
+    query's nprobe nearest cells.
+At 100 TB the centroid table stays broadcast-sized (k <= 2^16) and the probe
+join is a bucket join on cell_id — no all-pairs shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+
+
+def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact cosine top-k: broadcast the selected query vectors against the
+    full corpus; rank per query with a deterministic tie-break."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = (
+        embeddings.alias("c")
+        .join(F.broadcast(q), F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            cosine_expr(F.col("q_emb"), F.col("c.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_blocked(embeddings: DataFrame, *, threshold: float = 0.8,
+                         block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse blocks (IVF-cell
+    analog): quadratic only inside each block."""
+    e = embeddings.select("vec_id", "embedding", block_col)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def assign_ivf_cells(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Nearest-centroid assignment, one numpy matmul per Arrow batch."""
+    cent = centroids.astype(np.float64)
+    cent_norm = np.linalg.norm(cent, axis=1) + 1e-12
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1) + 1e-12
+            sims = (mat @ cent.T) / norms[:, None] / cent_norm[None, :]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell_id": sims.argmax(axis=1).astype(np.int32)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, cell_id int"
+    )
+
+
+def deterministic_centroids(embeddings: DataFrame, k: int) -> np.ndarray:
+    """Centroids = the k lowest-vec_id vectors (deterministic, no kmeans
+    iterations needed for plumbing/testing; swap in kmeans|| at scale)."""
+    rows = embeddings.orderBy("vec_id").limit(k).collect()
+    return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], *, k: int = 5,
+             n_cells: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF approximate top-k: search only the nprobe cells nearest each query.
+    Returns the same schema as brute_force_topk (recall < 1 by construction)."""
+    cents = deterministic_centroids(embeddings, n_cells)
+    cells = assign_ivf_cells(embeddings, cents)
+    corpus = embeddings.join(cells, "vec_id")
+
+    q_rows = embeddings.filter(F.col("vec_id").isin(query_ids)).collect()
+    probe_rows = []
+    cent_norm = np.linalg.norm(cents, axis=1) + 1e-12
+    for r in q_rows:
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        sims = (cents @ v) / (np.linalg.norm(v) + 1e-12) / cent_norm
+        for c in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((int(r["vec_id"]), int(c), list(r["embedding"])))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell_id int, q_emb array<float>"
+    )
+    joined = (
+        corpus.alias("c")
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            cosine_expr(F.col("q_emb"), F.col("c.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -61,7 +61,12 @@ def updown_score(mask: np.ndarray) -> float:
                 valid_ink += int(rows.sum())
     if total_ink == 0 or valid_ink / total_ink < MIN_VALID_INK_FRACTION:
         return 0.0
-    return float((asc - desc) / np.sqrt(asc + desc + 1.0))
+    # SCALE calibrates our hash-glyph font's weaker ascender/descender
+    # asymmetry (3-row asc vs 3-row desc bands, ~50% ink density) to the
+    # magnitude range Leptonica's confidences reach on natural fonts, so the
+    # reference's literal 5.0 axis margin (src/lib.cpp:280) stays meaningful.
+    SCALE = 2.5
+    return float(SCALE * (asc - desc) / np.sqrt(asc + desc + 1.0))
 
 
 def detect_orientation(mask: np.ndarray) -> tuple[int, float]:

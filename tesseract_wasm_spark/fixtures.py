@@ -1,0 +1,160 @@
+"""Deterministic fixture corpus — the pages table.
+
+Schema is fixed by the driver contract (BASELINE.json input_hint):
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+``html`` carries the DRF-encoded page image; ``text`` carries the ground-truth
+string the page was rendered from (provenance — the byte-identity target).
+
+Pages mirror the reference's fixture inventory (FIXTURES.md §2, reference
+test/ocr-engine-test.js):
+  - ``small-page``: analog of test/small-test-page.jpg with the same first
+    line text pinned by the reference test (test/ocr-engine-test.js:199-202)
+  - ``large-page``: analog of test/test-page.jpg (~3x area — skew driver)
+  - ``empty-{n}``: all-white pages (quirk fixtures, ocr-engine-test.js:211-229)
+  - ``rot-{90,180,270}``: metamorphic orientation fixtures
+    (ocr-engine-test.js:340-352)
+  - ``bad-buffer`` / ``zero-dim``: error-path fixtures (ocr-engine-test.js:63-78)
+  - ``page-{i}``: seeded corpus pages with heavy-tailed sizes (the skew the
+    north rule requires explicit handling for)
+
+Everything is a pure function of (n_pages, seed): no wall clock, no I/O.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+import numpy as np
+import pandas as pd
+
+from tesseract_wasm_spark import drf
+from tesseract_wasm_spark.raster import empty_page, render_page, render_page_drf
+
+BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+# word bank for seeded corpus text (ascii-only, matches the font)
+_WORDS = (
+    "the of and a to in is you that it he was for on are as with his they I at "
+    "be this have from or one had by word but not what all were we when your can "
+    "said there use an each which she do how their if will up other about out "
+    "many then them these so some her would make like him into time has look two "
+    "more write go see number no way could people my than first water been call "
+    "who oil its now find long down day did get come made may part Image Optical "
+    "Character Recognition Thresholding quick brown fox jumps lazy dog OCR Spark "
+    "pipeline extraction binary page document baseline glyph"
+).split()
+
+SMALL_PAGE_LINES = [
+    "Image Thresholding for Optical Character Recognition and",
+    "Other Applications Requiring Character Image Extraction",
+    "Two new algorithms are described with test results for a",
+    "range of document types and a discussion of tradeoffs in",
+    "speed and quality of the resulting binary page images so",
+    "the first is a fast simple approach for general purposes",
+    "and the second is a more aggressive approach directed at",
+    "specialized high volume applications which may justify a",
+    "larger setup cost and tuning effort for best performance",
+    "second is a more aggressive approach toward applications",
+]
+
+
+def _seeded_lines(rng: np.random.Generator, n_lines: int, max_cols: int = 60) -> list[str]:
+    lines = []
+    for _ in range(n_lines):
+        words: list[str] = []
+        cols = 0
+        while True:
+            w = _WORDS[int(rng.integers(0, len(_WORDS)))]
+            if cols + len(w) + (1 if words else 0) > max_cols:
+                break
+            cols += len(w) + (1 if words else 0)
+            words.append(w)
+        lines.append(" ".join(words) if words else "x")
+    return lines
+
+
+def expected_text(lines: list[str]) -> str:
+    """getText contract: each line carries a trailing newline
+    (reference: test/ocr-engine-test.js:199-206, src/lib.cpp:211-214)."""
+    return "".join(ln + "\n" for ln in lines)
+
+
+def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+
+    def add(name: str, payload: bytes, text: str, minute: int, lang: str = "eng") -> None:
+        rows.append(
+            {
+                "url": f"https://fixtures.test/page/{name}",
+                "warc_ts": BASE_TS + dt.timedelta(minutes=minute),
+                "html": payload,
+                "text": text,
+                "lang": lang,
+            }
+        )
+
+    add("small-page", render_page_drf(SMALL_PAGE_LINES), expected_text(SMALL_PAGE_LINES), 0)
+    large_lines = SMALL_PAGE_LINES * 3
+    add("large-page", render_page_drf(large_lines), expected_text(large_lines), 1)
+    for i, (w, h) in enumerate([(1, 1), (100, 100), (200, 200)]):
+        add(f"empty-{w}x{h}", drf.encode(empty_page(w, h)), "", 2 + i)
+    for rot in (90, 180, 270):
+        add(f"rot-{rot}", render_page_drf(SMALL_PAGE_LINES, rot=rot), "", 5 + rot // 90)
+    add("bad-buffer", drf.encode_raw_invalid(100, 100, b"0123456789"), "", 9)
+    add("zero-dim", drf.encode_raw_invalid(0, 100, b""), "", 10)
+
+    for i in range(n_corpus_pages):
+        # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew
+        # the north rule requires explicit handling for)
+        big = rng.random() < 0.125
+        n_lines = int(rng.integers(40, 90)) if big else int(rng.integers(4, 14))
+        lines = _seeded_lines(rng, n_lines)
+        add(f"page-{i:05d}", render_page_drf(lines), expected_text(lines), 11 + i)
+    return rows
+
+
+def fixtures_pandas(n_corpus_pages: int = 16, seed: int = 42) -> pd.DataFrame:
+    return pd.DataFrame(fixture_rows(n_corpus_pages, seed))
+
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def fixtures_df(spark, n_corpus_pages: int = 16, seed: int = 42):
+    """Pages table as a Spark DataFrame (deterministic)."""
+    return spark.createDataFrame(fixtures_pandas(n_corpus_pages, seed), schema=PAGES_DDL)
+
+
+def corpus_df(spark, n_pages: int, seed: int = 7, partitions: int | None = None):
+    """Bench-scale corpus: only seeded pages (no error/rot fixtures), built in
+    a distributed way — the page *spec* (tiny) is parallelized and rasterized
+    on executors, so building a large corpus doesn't bottleneck the driver."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    specs = [(i, seed) for i in range(n_pages)]
+    sdf = spark.createDataFrame(specs, "page_id int, seed int")
+    if partitions:
+        sdf = sdf.repartition(partitions)
+
+    def gen(iterator):
+        for pdf in iterator:
+            out = []
+            for pid, sd in zip(pdf["page_id"], pdf["seed"]):
+                rng = np.random.default_rng((int(sd) << 32) | int(pid))
+                big = rng.random() < 0.125
+                n_lines = int(rng.integers(40, 90)) if big else int(rng.integers(4, 14))
+                lines = _seeded_lines(rng, n_lines)
+                out.append(
+                    {
+                        "url": f"https://corpus.test/page/{int(pid):08d}",
+                        "warc_ts": BASE_TS + dt.timedelta(seconds=int(pid)),
+                        "html": render_page_drf(lines),
+                        "text": expected_text(lines),
+                        "lang": "eng",
+                    }
+                )
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return sdf.mapInPandas(gen, schema=PAGES_DDL)

@@ -1,0 +1,223 @@
+"""Relational outputs derived from the extraction result (P6/P7/P9, Q9).
+
+Everything here is plain DataFrame algebra over the single ``ocr_pages``
+result — Catalyst prunes/pushes down for free, and the expensive UDF runs once
+regardless of how many of these outputs are materialized (persist the result
+DataFrame when deriving several — SURVEY.md §4 O2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tesseract_wasm_spark.font import CELL_H, BASELINE_ROW, XHEIGHT_TOP, DESC_BOTTOM
+
+START_OF_LINE = 1
+END_OF_LINE = 2
+
+
+def words_df(results: DataFrame) -> DataFrame:
+    """Exploded word-level TextItems (reference getTextBoxes("word") —
+    src/ocr-engine.ts:255-267): one row per word per url."""
+    return (
+        results.filter(F.col("error").isNull())
+        .select("url", F.explode("words").alias("w"))
+        .select("url", "w.*")
+    )
+
+
+def layout_df(results: DataFrame) -> DataFrame:
+    """Layout-only BoxItems (reference getBoundingBoxes — src/lib.cpp:197-203):
+    no text/confidence, empty pages yield zero rows (the reference quirk is
+    OCR-path-only — test/ocr-engine-test.js:211-229)."""
+    return (
+        results.filter(F.col("error").isNull())
+        .select("url", F.posexplode("layout_boxes").alias("box_id", "b"))
+        .select("url", "box_id", "b.*")
+    )
+
+
+def lines_df(words: DataFrame) -> DataFrame:
+    """Word -> line rollup (Q9; reference TextUnit.Line — src/lib.cpp:59-68).
+    Line text = words joined by spaces + trailing newline (pinned by reference
+    test/ocr-engine-test.js:199-206). Synthetic empty-page marker rows (empty
+    text, all-zero rect) are excluded, matching the reference where line-level
+    iteration yields the same single empty box (we keep lines honest instead).
+    """
+    ordered = F.array_sort(F.collect_list(F.struct("word_id", "text", "confidence")))
+    return (
+        words.filter(F.col("text") != "")
+        .groupBy("url", "line_id")
+        .agg(
+            F.min("left").alias("left"),
+            F.min("top").alias("top"),
+            F.max("right").alias("right"),
+            F.max("bottom").alias("bottom"),
+            F.first("baseline").alias("baseline"),
+            F.count("*").alias("n_words"),
+            ordered.alias("_ws"),
+        )
+        .withColumn(
+            "text",
+            F.concat(F.array_join(F.transform("_ws", lambda w: w["text"]), " "), F.lit("\n")),
+        )
+        .withColumn(
+            "confidence",
+            F.aggregate("_ws", F.lit(0.0), lambda acc, w: acc + w["confidence"])
+            / F.size("_ws"),
+        )
+        .drop("_ws")
+    )
+
+
+def page_text_df(results: DataFrame) -> DataFrame:
+    """Per-url extracted text straight from the engine (the byte-identity
+    surface — reference getText, src/lib.cpp:211-214)."""
+    return results.filter(F.col("error").isNull()).select("url", F.col("page_text").alias("text_out"))
+
+
+def page_text_from_lines(lines: DataFrame) -> DataFrame:
+    """The same page text assembled relationally from the lines rollup —
+    tested equal to the engine's direct string (P7 dual-path check)."""
+    ordered = F.array_sort(F.collect_list(F.struct("line_id", "text")))
+    return (
+        lines.groupBy("url")
+        .agg(F.array_join(F.transform(ordered, lambda s: s["text"]), "").alias("text_out"))
+    )
+
+
+def orientation_df(results: DataFrame) -> DataFrame:
+    return results.filter(F.col("error").isNull()).select(
+        "url", "rotation", F.col("orient_confidence").alias("confidence")
+    )
+
+
+def errors_df(results: DataFrame) -> DataFrame:
+    """Error-as-value rows (reference OCRResult{error} — src/lib.cpp:70-75)."""
+    return results.filter(F.col("error").isNotNull()).select("url", "error")
+
+
+# --- hOCR rendering (P9 — reference src/lib.cpp:216-240) -------------------
+
+_HOCR_HEADER = """<?xml version="1.0" encoding="UTF-8"?>
+<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">
+<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en" lang="en">
+<head>
+  <title>hOCR text</title>
+  <meta http-equiv="Content-Type" content="text/html;charset=utf-8"/>
+  <meta name='ocr-system' content='tesseract-wasm-spark 0.1.0' />
+  <meta name='ocr-capabilities' content='ocr_page ocr_carea ocr_par ocr_line ocrx_word ocrp_wconf' />
+</head>
+<body>
+"""
+_HOCR_FOOTER = "</body>\n</html>"
+
+
+def hocr_df(results: DataFrame) -> DataFrame:
+    """Render hOCR per url with format_string/aggregation — the same document
+    structure and attributes the reference emits (header/footer inlined like
+    src/lib.cpp:224-239; capabilities line src/lib.cpp:231; entity ids and
+    title attrs pinned by reference test/ocr-engine-test.js:296-307:
+    ``word_1_1``/``line_1_5``, ``bbox ...; x_wconf N``, line ``baseline``/
+    ``x_size``/``x_descenders``/``x_ascenders``)."""
+    words = words_df(results).filter(F.col("text") != "")
+    lines = lines_df(words)
+
+    word_span = F.format_string(
+        "      <span class='ocrx_word' id='word_1_%d' title='bbox %d %d %d %d; x_wconf %d'>%s</span>",
+        F.col("word_id") + 1,
+        "left",
+        "top",
+        F.col("right") + 1,
+        F.col("bottom") + 1,
+        F.round(F.col("confidence") * 100).cast("int"),
+        _xml_escape(F.col("text")),
+    )
+    words_per_line = (
+        words.withColumn("_span", word_span)
+        .groupBy("url", "line_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("word_id", "_span"))),
+                    lambda s: s["_span"],
+                ),
+                "\n",
+            ).alias("word_spans")
+        )
+    )
+    line_open = F.format_string(
+        "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; "
+        "baseline 0 0; x_size %d; x_descenders %d; x_ascenders %d\">",
+        F.col("line_id") + 1,
+        "left",
+        "top",
+        F.col("right") + 1,
+        F.col("bottom") + 1,
+        F.lit(CELL_H),
+        F.lit(DESC_BOTTOM - BASELINE_ROW),
+        F.lit(XHEIGHT_TOP),
+    )
+    line_block = F.concat_ws("\n", line_open, F.col("word_spans"), F.lit("     </span>"))
+    per_line = (
+        lines.join(words_per_line, ["url", "line_id"])
+        .withColumn("_line_block", line_block)
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_id", "_line_block"))),
+                    lambda s: s["_line_block"],
+                ),
+                "\n",
+            ).alias("lines_html"),
+            F.min("left").alias("_l"),
+            F.min("top").alias("_t"),
+            F.max("right").alias("_r"),
+            F.max("bottom").alias("_b"),
+        )
+    )
+    pages = results.filter(F.col("error").isNull()).select("url", "width", "height")
+    page_html = F.format_string(
+        "  <div class='ocr_page' id='page_1' title='bbox 0 0 %d %d'>\n"
+        "   <div class='ocr_carea' id='block_1_1' title=\"bbox %d %d %d %d\">\n"
+        "    <p class='ocr_par' id='par_1_1' title=\"bbox %d %d %d %d\">\n%s\n"
+        "    </p>\n   </div>\n  </div>",
+        "width",
+        "height",
+        "_l",
+        "_t",
+        F.col("_r") + 1,
+        F.col("_b") + 1,
+        "_l",
+        "_t",
+        F.col("_r") + 1,
+        F.col("_b") + 1,
+        "lines_html",
+    )
+    return (
+        pages.join(per_line, "url")
+        .select(
+            "url",
+            F.concat(F.lit(_HOCR_HEADER), page_html, F.lit("\n"), F.lit(_HOCR_FOOTER)).alias("hocr"),
+        )
+    )
+
+
+def _xml_escape(col):
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def line_flags_check(words: DataFrame) -> DataFrame:
+    """Re-derive Start/EndOfLine flags relationally (Q2/P6 — reference flag
+    logic src/lib.cpp:307-315) so tests can assert engine flags == SQL flags."""
+    w = Window.partitionBy("url", "line_id").orderBy("word_id")
+    rn = F.row_number().over(w)
+    cnt = F.count("*").over(Window.partitionBy("url", "line_id"))
+    derived = (
+        F.when(rn == 1, F.lit(START_OF_LINE)).otherwise(F.lit(0))
+        + F.when(rn == cnt, F.lit(END_OF_LINE)).otherwise(F.lit(0))
+    )
+    return words.withColumn("flags_sql", derived.cast("int"))

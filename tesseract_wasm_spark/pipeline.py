@@ -1,0 +1,154 @@
+"""The Spark extraction pipeline: pages table -> per-url OCR results.
+
+Architecture (SURVEY.md §3.4): the driver plays the reference's main thread,
+executors its workers, Arrow IPC its postMessage channel. The entire per-page
+pipeline (decode -> Otsu -> CC segmentation -> recognition -> orientation) runs
+inside ONE ``mapInPandas`` pass so that text, boxes, hOCR and orientation are
+all derived from a single computation — the Spark analog of the reference's
+``layout_analysis_done_``/``ocr_done_`` memoization (reference:
+src/lib.cpp:325-336; SURVEY.md §4 O2).
+
+Vectorization note: Arrow moves batches JVM->Python zero-copy; within a batch
+the per-page orchestration is a thin Python loop (pages are the natural batch
+unit — each is ~10^5-10^6 pixels), and ALL pixel/glyph math inside is numpy:
+binarization, CCL and recognition are whole-page array ops, recognition in
+particular one matmul per page (the analog of the reference's SIMD dot-product
+lever, src/tesseract-init.js:30-39).
+
+Scale design (the 100 TB view):
+  - the extraction map is embarrassingly parallel: no shuffle at all unless
+    skew rebalancing is requested; downstream relational ops shuffle only on
+    (url) / (url, line_id) keys.
+  - skew (O10): page byte-size is heavy-tailed; ``rebalance_pages`` salts by
+    xxhash64(url) into uniform partitions, and at cluster scale AQE's
+    coalescing/skew handling refines it at runtime.
+  - lineage/metrics (O9/P13): every result row carries the executor partition
+    id, input batch ordinal and wall-time of its batch; ``metrics_df`` rolls
+    them into a per-partition metrics table (the analog of the reference's
+    progress channel, src/ocr-client.ts:95-107).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+WORD_FIELDS = (
+    "word_id int, line_id int, left int, top int, right int, bottom int, "
+    "flags int, confidence double, text string, baseline int"
+)
+LAYOUT_FIELDS = "left int, top int, right int, bottom int, flags int"
+
+RESULT_DDL = (
+    "url string, lang string, width int, height int, error string, "
+    "rotation int, orient_confidence double, "
+    f"words array<struct<{WORD_FIELDS}>>, "
+    f"layout_boxes array<struct<{LAYOUT_FIELDS}>>, "
+    "page_text string, "
+    "partition_id int, batch_seq int, batch_elapsed_ms double, batch_pages int"
+)
+
+
+def rebalance_pages(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit skew handling (north rule): uniform-salt shuffle so heavy
+    pages spread evenly instead of clustering by source order. At 100 TB the
+    input is append-ordered by crawl, which clusters large pages; salting by
+    url hash makes partition cost ~uniform in expectation and AQE skew-join /
+    coalescing handles the residual tail."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(num_partitions, F.xxhash64("url"))
+
+
+def ocr_pages(
+    pages: DataFrame,
+    *,
+    with_text: bool = True,
+    with_orientation: bool = True,
+    rebalance: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text?, lang?) -> one result row per url.
+
+    ``with_text=False`` is the reference's layout-only cheap path
+    (getBoundingBoxes with no model — src/lib.cpp:197-203): recognition is
+    skipped entirely, the moral equivalent of column pruning through an
+    opaque UDF (SURVEY.md §4 O3).
+    """
+    cols = ["url", "html"] + (["lang"] if "lang" in pages.columns else [])
+    src = pages.select(*cols)  # column pruning before the shuffle: never move text/warc_ts
+    if "lang" not in pages.columns:
+        src = src.withColumn("lang", F.lit("eng"))
+    if rebalance:
+        src = rebalance_pages(src, num_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imports inside the worker: keeps the task closure tiny
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for seq, pdf in enumerate(batches):
+            t0 = time.monotonic()
+            out = []
+            for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                res = process_page(
+                    bytes(payload), with_text=with_text, with_orientation=with_orientation
+                )
+                out.append(
+                    {
+                        "url": url,
+                        "lang": lang,
+                        "width": res.width,
+                        "height": res.height,
+                        "error": res.error,
+                        "rotation": res.rotation,
+                        "orient_confidence": res.orient_confidence,
+                        "words": [vars(w) for w in res.words],
+                        "layout_boxes": [
+                            {"left": b[0], "top": b[1], "right": b[2], "bottom": b[3], "flags": b[4]}
+                            for b in res.layout_boxes
+                        ],
+                        "page_text": res.page_text,
+                    }
+                )
+            elapsed = (time.monotonic() - t0) * 1000.0
+            rdf = pd.DataFrame(
+                out,
+                columns=[
+                    "url", "lang", "width", "height", "error", "rotation",
+                    "orient_confidence", "words", "layout_boxes", "page_text",
+                ],
+            )
+            rdf["partition_id"] = pid
+            rdf["batch_seq"] = seq
+            rdf["batch_elapsed_ms"] = elapsed
+            rdf["batch_pages"] = len(out)
+            yield rdf
+
+    return src.mapInPandas(run, schema=RESULT_DDL)
+
+
+def metrics_df(results: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rollup (north rule; reference progress
+    stream P13). One row per (partition, batch): pages processed, wall ms,
+    pages/sec — queryable like any table."""
+    return (
+        results.groupBy("partition_id", "batch_seq")
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+            F.first("batch_elapsed_ms").alias("elapsed_ms"),
+            F.sum(F.length("page_text")).alias("text_bytes"),
+        )
+        .withColumn(
+            "pages_per_sec",
+            F.when(F.col("elapsed_ms") > 0, F.col("pages") / (F.col("elapsed_ms") / 1000.0)),
+        )
+    )

@@ -1,0 +1,524 @@
+"""Driver-contract query registry.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs in DuckDB over the same parquet tables; the driver compares
+row count + schema + order-insensitive value hash, so:
+  - every computed column is aliased identically on both sides,
+  - doubles are rounded (6 decimals; 4 for cosine) after order-independent
+    arithmetic (sums go through decimal(25,6) so partition order can't change
+    the result),
+  - tie-breaks in window functions are total orders.
+
+The relational entries (q_*) exercise exactly the operator set the reference's
+own tests/examples use to query OCR output (SURVEY.md §2.3 Q1-Q11, with
+file:line citations per entry). The datapipe entries (dedup_*, ann_*, text_*)
+are the training-data operators the brief adds. The ocr_* entries run the real
+extraction engine on the deterministic fixture corpus (not SQL-expressible ->
+rows-only checks; byte-identity is separately gated by pytest goldens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col):
+    """Order-independent double sum: exact decimal accumulation, then double."""
+    return F.sum(col.cast("decimal(25,6)")).cast("double")
+
+
+# ---------------------------------------------------------------- Q1-Q11
+# (reference consumer-surface operators, SURVEY.md §2.3)
+
+
+def q_filter_trim(spark, sf_dir):
+    # Q1 — reference: examples/web/ocr-app.js:173 (drop blank-text boxes)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select("doc_id", "lang")
+    )
+
+
+SQL_FILTER_TRIM = "SELECT doc_id, lang FROM documents WHERE trim(text) <> ''"
+
+
+def q_filter_bitmask(spark, sf_dir):
+    # Q2 — reference: test/ocr-engine-test.js:238-243 (flags & StartOfLine)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id").bitwiseAND(1) != 0)
+        .select("event_id", "event_type")
+    )
+
+
+SQL_FILTER_BITMASK = "SELECT event_id, event_type FROM events WHERE (event_id & 1) <> 0"
+
+
+def q_project_len(spark, sf_dir):
+    # Q3 — reference: test/ocr-engine-test.js:194-195 (map to text lengths)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
+SQL_PROJECT_LEN = "SELECT doc_id, length(text) AS text_len FROM documents"
+
+
+def q_agg_mean(spark, sf_dir):
+    # Q4 — reference: test/ocr-engine-test.js:29-31 mean() helper
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_dec_sum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AGG_MEAN = (
+    "SELECT l_returnflag, "
+    "round(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_qty, "
+    "count(*) AS n FROM lineitem GROUP BY l_returnflag"
+)
+
+
+def q_agg_count(spark, sf_dir):
+    # Q5 — reference: box-count assertions test/ocr-engine-test.js:151,171,191
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+SQL_AGG_COUNT = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_first_last(spark, sf_dir):
+    # Q6 — reference: wordBoxes.at(0) / .at(-1), test/ocr-engine-test.js:192-193
+    ev = _t(spark, sf_dir, "events")
+    asc = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    desc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn_a", F.row_number().over(asc))
+        .withColumn("rn_d", F.row_number().over(desc))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("first_event"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("last_event"),
+        )
+    )
+
+
+SQL_FIRST_LAST = """
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_event,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_event
+FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_concat_ws(spark, sf_dir):
+    # Q7 — reference: textBoxes.map(w => w.text).join(" "), test/ocr-client-test.js:61
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["event_type"]), " ").alias("event_seq")
+    )
+
+
+SQL_CONCAT_WS = (
+    "SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_seq "
+    "FROM events GROUP BY user_id"
+)
+
+
+def q_contains(spark, sf_dir):
+    # Q8 — reference: assert.include(text, phrase), test/ocr-engine-test.js:279-287
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.instr(F.col("text"), "data") > 0)
+        .select("doc_id")
+    )
+
+
+SQL_CONTAINS = "SELECT doc_id FROM documents WHERE instr(text, 'data') > 0"
+
+
+def q_rollup_line(spark, sf_dir):
+    # Q9 — word->line rollup shape (min/max bbox + ordered concat), SURVEY §2.3
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("n_items"),
+        F.round(_dec_sum(F.col("l_extendedprice")), 6).alias("sum_price"),
+    )
+
+
+SQL_ROLLUP_LINE = (
+    "SELECT l_orderkey, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+    "count(*) AS n_items, "
+    "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_price "
+    "FROM lineitem GROUP BY l_orderkey"
+)
+
+
+def q_geometry(spark, sf_dir):
+    # Q10 — box->percent arithmetic, examples/web/ocr-app.js:74-78
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 6).alias("net_price"),
+        F.round(net * (1 + F.col("l_tax")), 6).alias("charge"),
+    )
+
+
+SQL_GEOMETRY = (
+    "SELECT l_orderkey, l_linenumber, "
+    "round(l_extendedprice * (1 - l_discount), 6) AS net_price, "
+    "round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge "
+    "FROM lineitem"
+)
+
+
+def q_case_orient(spark, sf_dir):
+    # Q11 — the orientation decision tree (reference src/lib.cpp:270-287:
+    # margin 5.0, up/down by sign else left/right by sign) over numeric cols
+    ev = _t(spark, sf_dir, "events")
+    up = F.col("value")
+    left = F.col("value") / 2
+    rot = F.when(
+        F.abs(up) - F.abs(left) > 5.0, F.when(up > 0, 0).otherwise(180)
+    ).otherwise(F.when(left > 0, 90).otherwise(270))
+    return ev.select("event_id", rot.cast("int").alias("rotation"))
+
+
+SQL_CASE_ORIENT = """
+SELECT event_id,
+       CAST(CASE WHEN abs(value) - abs(value / 2) > 5.0
+                 THEN CASE WHEN value > 0 THEN 0 ELSE 180 END
+                 ELSE CASE WHEN value / 2 > 0 THEN 90 ELSE 270 END
+            END AS INT) AS rotation
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- datapipe
+
+
+def dedup_exact(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.dedup import exact_duplicates  # noqa: PLC0415
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_md5, "
+    "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"
+)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.dedup import ngram_jaccard_pairs  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2, block_col="source")
+
+
+SQL_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')]
+         END AS shingles
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.2
+"""
+
+
+def dedup_minhash(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.dedup import minhash_near_duplicates  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_duplicates(docs, num_perm=64, bands=16, threshold=0.2)
+
+
+def dedup_simhash(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.dedup import simhash_near_duplicates  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+def dedup_embedding(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.similarity import cosine_pairs_blocked  # noqa: PLC0415
+
+    return cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), threshold=0.25)
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.25
+"""
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def ann_topk(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.similarity import brute_force_topk  # noqa: PLC0415
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.q_emb, CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4)
+           AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def ann_ivf(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.similarity import ivf_topk  # noqa: PLC0415
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5, n_cells=16, nprobe=4)
+
+
+def text_langid(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.textstats import language_id  # noqa: PLC0415
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_count(pattern: str, col: str = "lower(text)") -> str:
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+_EN = _sql_count(r"\b(the|and|of|to|is|in|that|for|with)\b")
+_DE = _sql_count(r"\b(der|die|das|und|ist|nicht|mit|ein|zu)\b")
+_FR = _sql_count(r"\b(le|la|les|et|est|une|des|dans|pour)\b")
+_ES = _sql_count(r"\b(el|la|los|las|es|una|del|por|para)\b")
+
+SQL_TEXT_LANGID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_EN} AS score_en,
+    {_DE} AS score_de,
+    {_FR} AS score_fr,
+    {_ES} AS score_es
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+       WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM scored
+"""
+
+
+def text_tokens(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.textstats import token_counts  # noqa: PLC0415
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.textstats import quality_score  # noqa: PLC0415
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_computed,
+         len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|for|with)\b')) AS stop
+  FROM documents
+)
+SELECT doc_id, n_chars_computed, ws_tokens,
+       round(CAST(n_chars_computed AS DOUBLE) / greatest(ws_tokens, 1), 6) AS mean_token_len,
+       round(CAST(punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) AS punct_ratio,
+       round(CAST(stop AS DOUBLE) / greatest(ws_tokens, 1), 6) AS stopword_ratio,
+       round(least(1.0, CAST(ws_tokens AS DOUBLE) / 64.0) * 0.4
+             + least(1.0, round(CAST(stop AS DOUBLE) / greatest(ws_tokens, 1), 6) * 4.0) * 0.3
+             + (1.0 - least(1.0, round(CAST(punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) * 10.0)) * 0.3,
+             6) AS quality
+FROM f
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.textstats import fingerprints  # noqa: PLC0415
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = (
+    "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------- OCR engine
+# (not SQL-expressible -> rows-only driver checks; byte-identity gated by
+#  pytest goldens in tests/)
+
+_FIXTURE_PAGES = 16
+
+
+def _fixture_results(spark):
+    from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
+    from tesseract_wasm_spark.pipeline import ocr_pages  # noqa: PLC0415
+
+    return ocr_pages(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
+
+
+def ocr_text(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import page_text_df  # noqa: PLC0415
+
+    return page_text_df(_fixture_results(spark))
+
+
+def ocr_words(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import words_df  # noqa: PLC0415
+
+    return words_df(_fixture_results(spark))
+
+
+def ocr_lines(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import lines_df, words_df  # noqa: PLC0415
+
+    return lines_df(words_df(_fixture_results(spark)))
+
+
+def ocr_layout(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import layout_df  # noqa: PLC0415
+    from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
+    from tesseract_wasm_spark.pipeline import ocr_pages  # noqa: PLC0415
+
+    pages = fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES)
+    return layout_df(ocr_pages(pages, with_text=False, with_orientation=False))
+
+
+def ocr_orientation(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import orientation_df  # noqa: PLC0415
+
+    return orientation_df(_fixture_results(spark))
+
+
+def ocr_hocr(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import hocr_df  # noqa: PLC0415
+
+    return hocr_df(_fixture_results(spark))
+
+
+def ocr_errors(spark, sf_dir):
+    from tesseract_wasm_spark.outputs import errors_df  # noqa: PLC0415
+
+    return errors_df(_fixture_results(spark))
+
+
+def ocr_media_metadata(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.multimodal import media_metadata  # noqa: PLC0415
+    from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
+
+    return media_metadata(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
+
+
+# ---------------------------------------------------------------- registry
+
+REGISTRY: dict[str, tuple] = {
+    # Q1-Q11 relational surface (oracle-checked)
+    "q_filter_trim": (q_filter_trim, SQL_FILTER_TRIM),
+    "q_filter_bitmask": (q_filter_bitmask, SQL_FILTER_BITMASK),
+    "q_project_len": (q_project_len, SQL_PROJECT_LEN),
+    "q_agg_mean": (q_agg_mean, SQL_AGG_MEAN),
+    "q_agg_count": (q_agg_count, SQL_AGG_COUNT),
+    "q_first_last": (q_first_last, SQL_FIRST_LAST),
+    "q_concat_ws": (q_concat_ws, SQL_CONCAT_WS),
+    "q_contains": (q_contains, SQL_CONTAINS),
+    "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),
+    "q_geometry": (q_geometry, SQL_GEOMETRY),
+    "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
+    # training-data pipeline (oracle-checked where SQL-expressible)
+    "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding": (dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_topk": (ann_topk, SQL_ANN_TOPK),
+    "ann_ivf": (ann_ivf, None),
+    "text_langid": (text_langid, SQL_TEXT_LANGID),
+    "text_tokens": (text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (text_quality, SQL_TEXT_QUALITY),
+    "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
+    # OCR engine surface (rows-only; byte-identity in pytest goldens)
+    "ocr_text": (ocr_text, None),
+    "ocr_words": (ocr_words, None),
+    "ocr_lines": (ocr_lines, None),
+    "ocr_layout": (ocr_layout, None),
+    "ocr_orientation": (ocr_orientation, None),
+    "ocr_hocr": (ocr_hocr, None),
+    "ocr_errors": (ocr_errors, None),
+    "ocr_media_metadata": (ocr_media_metadata, None),
+}
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,67 @@
+"""Scale semantics: checkpoint-resume, lineage, and the batch job entry.
+
+North-rule requirements (BASELINE.json): explicit skew handling (see
+pipeline.rebalance_pages), per-partition lineage + metrics tables, and
+checkpoint-based resume so any partition can be replayed idempotently.
+
+Resume model (SURVEY.md §4 O11): the results table is keyed by url; a run
+anti-joins the input against already-written urls and processes only the
+remainder. Replaying a partition is therefore idempotent — its urls are
+already present and anti-joined away. With an Iceberg catalog the appends are
+ACID; on plain parquet (this sandbox) the same layout applies with
+last-writer-wins semantics per run_id.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tesseract_wasm_spark.pipeline import metrics_df, ocr_pages
+
+
+def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(results_path).select("url")
+    except Exception:
+        return None  # first run: nothing written yet
+
+
+def run_with_resume(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    with_text: bool = True,
+    num_partitions: int | None = None,
+) -> dict:
+    """Process all pages not yet present in ``{out_dir}/results``; append
+    results + per-partition metrics. Returns a small run summary dict."""
+    results_path = f"{out_dir}/results"
+    metrics_path = f"{out_dir}/metrics"
+    run_id = uuid.uuid4().hex
+
+    done = completed_urls(spark, results_path)
+    todo = pages if done is None else pages.join(done, "url", "left_anti")
+
+    res = ocr_pages(todo, with_text=with_text, num_partitions=num_partitions).persist()
+    n = res.count()
+    if n == 0:
+        res.unpersist()
+        return {"run_id": run_id, "pages": 0, "resumed": done is not None}
+
+    (
+        res.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .parquet(results_path)
+    )
+    (
+        metrics_df(res)
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .parquet(metrics_path)
+    )
+    errors = res.filter(F.col("error").isNotNull()).count()
+    res.unpersist()
+    return {"run_id": run_id, "pages": n, "errors": errors, "resumed": done is not None}

@@ -1,0 +1,180 @@
+"""Training-data pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_wasm_spark.datapipe import dedup, similarity, textstats
+from tesseract_wasm_spark.datapipe.multimodal import media_metadata, thumbnails
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about spark pipelines and arrow batches"),
+    (5, "Unrelated short text"),
+    (6, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today"),  # case dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").withColumn(
+        "source", F.lit("s1")
+    )
+
+
+def test_exact_dedup(spark, docs):
+    rows = {r["keep_id"]: r["n_dups"] for r in dedup.exact_duplicates(docs).collect()}
+    assert rows[1] == 3  # docs 1, 2, 6 normalize to the same content
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, block_col="source").collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 6)] == 1.0  # lowercased shingles
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in
+        dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert {(1, 2), (1, 6), (2, 6)} <= found
+    assert (1, 3) in found  # near dup passes the 0.5 exact-jaccard verify
+    assert (1, 4) not in found
+
+
+def test_minhash_estimate_tracks_exact(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.minhash_candidates(sigs, bands=16)
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert est[(1, 2)] == 1.0
+
+
+def test_simhash_near_dups(spark, docs):
+    found = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=6).collect()
+    }
+    assert found[(1, 2)] == 0
+    assert found[(1, 6)] == 0  # case-insensitive tokens
+    assert found.get((1, 3), 99) <= 6
+    assert (1, 4) not in found
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    vid = 0
+    for label in range(4):
+        for _ in range(12):
+            v = base[label] + rng.normal(scale=0.4, size=16)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    got = similarity.brute_force_topk(embeddings, [0, 1], k=3).collect()
+    rows = embeddings.orderBy("vec_id").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in (0, 1):
+        sims = mat @ mat[qid] / (norms * norms[qid])
+        sims[qid] = -np.inf
+        order = sorted(range(len(sims)), key=lambda i: (-round(sims[i], 4), i))[:3]
+        mine = sorted(
+            [(r["neighbor_id"], r["rank"]) for r in got if r["query_id"] == qid],
+            key=lambda t: t[1],
+        )
+        assert [t[0] for t in mine] == order
+
+
+def test_ivf_recall_reasonable(spark, embeddings):
+    """IVF with nprobe=2 of 4 cells must recover most of the exact top-3
+    (clustered data -> near-perfect recall)."""
+    exact = similarity.brute_force_topk(embeddings, [0, 5, 13], k=3).collect()
+    approx = similarity.ivf_topk(embeddings, [0, 5, 13], k=3, n_cells=4, nprobe=2).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 2 / 3
+
+
+def test_cosine_pairs_blocked(spark, embeddings):
+    pairs = similarity.cosine_pairs_blocked(embeddings, threshold=0.5).collect()
+    assert len(pairs) > 0
+    labels = {r["label"]: None for r in embeddings.collect()}
+    assert all(r["cosine"] >= 0.5 for r in pairs)
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog went to the park for the day", "en"),
+        (2, "der hund und die katze sind nicht mit der maus", "de"),
+        (3, "le chat et la souris sont dans la maison pour le jour", "fr"),
+        (4, "el perro y los gatos son una familia del barrio para siempre", "es"),
+        (5, "xyzzy qwerty zzz", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string").withColumn(
+        "lang", F.lit("?")
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(df).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, "one-two three")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in textstats.token_counts(df).collect()}
+    assert got[1] == (4, 6)  # ws: Hello,|world!|42|times; bpe: Hello , world ! 42 times
+    assert got[2] == (2, 4)  # one - two three
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house with the mouse"),
+         (2, "!!! ??? ... ###")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in textstats.quality_score(df).collect()}
+    assert q[1] > q[2]
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(df).collect()}
+    assert len(fp[1]) == 32 and fp[1] != fp[2]
+    df2 = spark.createDataFrame([(3, "THE  cat And the DOG are in the house with the mouse")],
+                                "doc_id long, text string")
+    fp2 = textstats.fingerprints(df2).collect()[0]["fingerprint"]
+    assert fp2 == fp[1]  # normalization: case + whitespace
+
+
+def test_media_metadata_and_thumbnails(spark):
+    from tesseract_wasm_spark.fixtures import fixtures_df
+
+    pages = fixtures_df(spark, n_corpus_pages=2)
+    meta = {r["url"].rsplit("/", 1)[-1]: r for r in media_metadata(pages).collect()}
+    assert meta["small-page"]["format"] == "drf"
+    assert meta["small-page"]["channels"] == 4
+    assert meta["bad-buffer"]["decode_error"] == "Image data length does not match width/height"
+    th = thumbnails(pages, max_side=32).collect()
+    assert all(r["thumb_w"] <= 32 and r["thumb_h"] <= 32 for r in th)
+    # bad payloads skipped, good ones present
+    assert len(th) == pages.count() - 2
+
+    from tesseract_wasm_spark.datapipe.multimodal import decode_foreign_image
+
+    with pytest.raises(NotImplementedError):
+        decode_foreign_image(b"\xff\xd8\xff...")

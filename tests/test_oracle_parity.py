@@ -1,0 +1,63 @@
+"""Driver-gate emulation: every oracle-checked queries() entry must match its
+DuckDB oracle at sf0.001 (row count + columns + order-insensitive values).
+This is the same comparison the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v) -> str:
+    import datetime as dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon(rows, cols):
+    cs = sorted(cols)
+    return sorted("|".join(_norm(r[c]) for c in cs) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _oracle_cases():
+    from tesseract_wasm_spark.queries import REGISTRY
+
+    return [name for name, (_, sql) in REGISTRY.items() if sql is not None]
+
+
+@pytest.mark.parametrize("name", _oracle_cases())
+def test_oracle_parity(spark, duck, name):
+    from tesseract_wasm_spark.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [r.asDict() for r in sdf.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [dict(zip(dcols, row)) for row in res.fetchall()]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols)

@@ -1,0 +1,150 @@
+"""Distributed-pipeline tests: byte-identity per url, dual-path parity,
+skew rebalancing, checkpoint resume, lineage/metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_wasm_spark import outputs as O
+from tesseract_wasm_spark.fixtures import fixtures_df
+from tesseract_wasm_spark.pipeline import metrics_df, ocr_pages
+from tesseract_wasm_spark.scale import run_with_resume
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    res = ocr_pages(fixtures_df(spark, n_corpus_pages=8)).persist()
+    res.count()
+    yield res
+    res.unpersist()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return fixtures_df(spark, n_corpus_pages=8)
+
+
+def _ok_urls(url_col):
+    return ~(
+        url_col.contains("rot-") | url_col.contains("bad-") | url_col.contains("zero-")
+    )
+
+
+def test_byte_identity_per_url(results, pages):
+    """The north-rule invariant: extracted text byte-identical per url."""
+    got = O.page_text_df(results)
+    truth = pages.filter(_ok_urls(F.col("url"))).select("url", "text")
+    joined = truth.join(got, "url", "left")
+    mism = joined.filter(
+        F.col("text_out").isNull() | (F.col("text_out") != F.col("text"))
+    ).count()
+    assert mism == 0
+    assert joined.count() == pages.filter(_ok_urls(F.col("url"))).count()
+
+
+def test_errors_as_values(results):
+    errs = {r["url"].rsplit("/", 1)[-1]: r["error"] for r in O.errors_df(results).collect()}
+    assert errs == {
+        "bad-buffer": "Image data length does not match width/height",
+        "zero-dim": "Image width or height is zero",
+    }
+
+
+def test_orientation_distributed(results):
+    rows = O.orientation_df(results).filter(F.col("url").contains("rot-")).collect()
+    assert {(r["url"].rsplit("-", 1)[-1], r["rotation"], r["confidence"]) for r in rows} == {
+        ("90", 90, 1.0), ("180", 180, 1.0), ("270", 270, 1.0),
+    }
+
+
+def test_dual_path_page_text(results):
+    """P7 both ways: engine string == SQL rollup of words->lines->page."""
+    words = O.words_df(results)
+    lines = O.lines_df(words)
+    sql_text = O.page_text_from_lines(lines)
+    direct = O.page_text_df(results).filter(F.col("text_out") != "")
+    joined = direct.join(sql_text.withColumnRenamed("text_out", "sql_text"), "url")
+    assert joined.count() == direct.count()
+    assert joined.filter(F.col("text_out") != F.col("sql_text")).count() == 0
+
+
+def test_flags_engine_vs_sql(results):
+    checked = O.line_flags_check(O.words_df(results).filter(F.col("text") != ""))
+    assert checked.filter(F.col("flags") != F.col("flags_sql")).count() == 0
+
+
+def test_lines_rollup_golden(results):
+    from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES
+
+    lines = (
+        O.lines_df(O.words_df(results))
+        .filter(F.col("url").endswith("small-page"))
+        .orderBy("line_id")
+        .collect()
+    )
+    assert [r["text"] for r in lines] == [ln + "\n" for ln in SMALL_PAGE_LINES]
+    for r in lines:
+        assert r["left"] < r["right"] and r["top"] < r["bottom"]
+        assert r["n_words"] == len(SMALL_PAGE_LINES[r["line_id"]].split())
+
+
+def test_empty_page_quirk_distributed(results):
+    words = O.words_df(results).filter(F.col("url").contains("empty-"))
+    per_url = words.groupBy("url").count().collect()
+    assert len(per_url) == 3
+    assert all(r["count"] == 1 for r in per_url)
+    assert words.filter((F.col("text") != "") | (F.col("right") != 0)).count() == 0
+    layout = O.layout_df(results).filter(F.col("url").contains("empty-"))
+    assert layout.count() == 0
+
+
+def test_hocr_distributed(results):
+    row = O.hocr_df(results).filter(F.col("url").endswith("small-page")).collect()[0]
+    h = row["hocr"]
+    assert "class='ocr_page' id='page_1'" in h
+    assert "x_wconf 100'>Image</span>" in h
+    assert h.endswith("</html>")
+
+
+def test_metrics_lineage(results):
+    m = metrics_df(results).collect()
+    assert sum(r["pages"] for r in m) == results.count()
+    assert all(r["partition_id"] >= 0 for r in m)
+    assert sum(r["errors"] for r in m) == 2
+
+
+def test_rebalance_partitioning(spark, pages):
+    from tesseract_wasm_spark.pipeline import rebalance_pages
+
+    df = rebalance_pages(pages.select("url", "html"), num_partitions=6)
+    assert df.rdd.getNumPartitions() == 6
+
+
+def test_resume_idempotent(spark, pages, tmp_path):
+    out = str(tmp_path / "ckpt")
+    s1 = run_with_resume(spark, pages, out)
+    assert s1["pages"] == pages.count() and s1["resumed"] is False
+    # replay: everything already present -> nothing processed, no duplicates
+    s2 = run_with_resume(spark, pages, out)
+    assert s2["pages"] == 0 and s2["resumed"] is True
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == res.select("url").distinct().count() == pages.count()
+    # partial replay: drop half the inputs -> still nothing to do (idempotence)
+    s3 = run_with_resume(spark, pages.limit(5), out)
+    assert s3["pages"] == 0
+    # metrics table exists with per-partition lineage
+    met = spark.read.parquet(f"{out}/metrics")
+    assert {"partition_id", "pages", "elapsed_ms", "run_id"} <= set(met.columns)
+
+
+def test_resume_processes_only_new(spark, pages, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    first = pages.filter(F.col("url").contains("page-0000"))
+    n_first = first.count()
+    assert n_first > 0
+    run_with_resume(spark, first, out)
+    s2 = run_with_resume(spark, pages, out)
+    assert s2["pages"] == pages.count() - n_first
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == pages.count()
