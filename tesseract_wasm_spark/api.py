@@ -71,7 +71,8 @@ class OCREngine:
                 raise ValueError(drf.ERR_BAD_LENGTH)
             rgba = data.reshape(h, w, 4)
         elif isinstance(image, np.ndarray):
-            if image.ndim != 3 or image.shape[2] != 4 or image.dtype != np.uint8:
+            ok_shape = image.ndim == 2 or (image.ndim == 3 and image.shape[2] in (1, 4))
+            if not ok_shape or image.dtype != np.uint8:
                 raise ValueError(ERR_IMAGE_LOAD)
             if image.shape[0] == 0 or image.shape[1] == 0:
                 raise ValueError(drf.ERR_ZERO_DIM)

@@ -30,31 +30,37 @@ import numpy as np
 
 MAGIC = b"DRF1"
 HEADER_LEN = 16
-CHANNELS = 4
+CHANNELS = 4  # RGBA; channels=1 grayscale also supported (OCR corpora are
+# stored single-channel at scale: 4x less decode bandwidth per page, which is
+# what keeps the 32-way extraction compute-bound instead of memory-bound)
 
 ERR_BAD_LENGTH = "Image data length does not match width/height"
 ERR_ZERO_DIM = "Image width or height is zero"
 ERR_BAD_MAGIC = "Unsupported image format"
 
 
-def encode(rgba: np.ndarray) -> bytes:
-    """uint8[H, W, 4] -> DRF bytes."""
-    if rgba.dtype != np.uint8 or rgba.ndim != 3 or rgba.shape[2] != CHANNELS:
-        raise ValueError("encode expects uint8[H, W, 4]")
-    h, w = rgba.shape[:2]
-    header = MAGIC + struct.pack("<iii", w, h, CHANNELS)
-    return header + zlib.compress(np.ascontiguousarray(rgba).tobytes(), level=6)
+def encode(img: np.ndarray) -> bytes:
+    """uint8[H, W], [H, W, 1] or [H, W, 4] -> DRF bytes."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode expects uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, CHANNELS):
+        raise ValueError("encode expects uint8[H, W] / [H, W, 1] / [H, W, 4]")
+    h, w, ch = img.shape
+    header = MAGIC + struct.pack("<iii", w, h, ch)
+    return header + zlib.compress(np.ascontiguousarray(img).tobytes(), level=6)
 
 
 def decode(payload: bytes) -> np.ndarray:
-    """DRF bytes -> uint8[H, W, 4]; raises ValueError with reference-matching
-    messages on malformed input."""
+    """DRF bytes -> uint8[H, W, C] (C = 1 or 4); raises ValueError with
+    reference-matching messages on malformed input."""
     if len(payload) < HEADER_LEN or payload[:4] != MAGIC:
         raise ValueError(ERR_BAD_MAGIC)
     w, h, ch = struct.unpack("<iii", payload[4:HEADER_LEN])
     if w <= 0 or h <= 0:
         raise ValueError(ERR_ZERO_DIM)
-    if ch != CHANNELS:
+    if ch not in (1, CHANNELS):
         raise ValueError(ERR_BAD_MAGIC)
     raw = zlib.decompress(payload[HEADER_LEN:])
     if len(raw) != w * h * ch:

@@ -3,10 +3,16 @@
 The reference's page segmentation starts from connected components inside
 upstream Tesseract (``FindBlocks`` pipeline — reference:
 patches/tesseract.diff:107-151). Reimplemented here as run-length based
-4-connectivity CCL: horizontal ink runs are extracted fully vectorized, runs in
-adjacent rows are linked by interval overlap (vectorized searchsorted), and a
-small union-find over run indices produces components. Cost is O(runs), not
-O(pixels), which keeps the Python-side loop tiny even for dense pages.
+4-connectivity CCL, fully vectorized:
+
+  1. horizontal ink runs per row (one diff over the padded mask),
+  2. run-to-run adjacency via two global ``searchsorted`` calls on composite
+     (row, column) keys — runs are row-major sorted, so interval overlap
+     against the previous row is a pair of binary searches, no Python pairs,
+  3. component labels by min-label propagation with pointer jumping —
+     converges in O(log(component height)) vectorized passes.
+
+Cost is O(runs log runs), independent of page area for blank regions.
 """
 
 from __future__ import annotations
@@ -40,7 +46,7 @@ def _runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     rows_s, starts = np.nonzero(diff == 1)
     rows_e, ends = np.nonzero(diff == -1)
     # starts/ends are aligned per row by construction of diff
-    return rows_s.astype(np.int32), starts.astype(np.int32), ends.astype(np.int32)
+    return rows_s.astype(np.int64), starts.astype(np.int64), ends.astype(np.int64)
 
 
 def label_components(mask: np.ndarray) -> Components:
@@ -50,44 +56,51 @@ def label_components(mask: np.ndarray) -> Components:
         empty = np.empty(0, dtype=np.int32)
         return Components(empty, empty, empty, empty, empty)
 
-    parent = np.arange(n_runs, dtype=np.int64)
+    w = mask.shape[1] + 2  # key stride: larger than any column value
+    # runs are sorted by (row, start); within a row runs are disjoint and
+    # ordered, so these composite keys are globally sorted
+    key_start = rows * w + starts
+    key_end = rows * w + ends
+    # for run i, overlapping runs j in the previous row satisfy
+    # end_j > start_i and start_j < end_i (4-connectivity column overlap)
+    lo = np.searchsorted(key_end, (rows - 1) * w + starts, side="right")
+    hi = np.searchsorted(key_start, (rows - 1) * w + ends, side="left")
+    cnt = np.maximum(hi - lo, 0)
 
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:  # path compression
-            parent[i], i = root, parent[i]
-        return root
+    # edge list (prev-row run `pa` <-> run `pb`), fully vectorized expansion
+    total = int(cnt.sum())
+    labels = np.arange(n_runs, dtype=np.int64)
+    if total:
+        pb = np.repeat(np.arange(n_runs, dtype=np.int64), cnt)
+        offsets = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        pa = np.repeat(lo, cnt) + offsets
+        # min-label propagation with pointer jumping: labels always point to
+        # an equal-or-smaller run index, so label chains shrink monotonically
+        while True:
+            m = labels.copy()
+            np.minimum.at(m, pb, labels[pa])
+            np.minimum.at(m, pa, labels[pb])
+            m = m[m]  # pointer jumping
+            if np.array_equal(m, labels):
+                break
+            labels = m
 
-    # link runs in adjacent rows with column overlap (4-connectivity)
-    row_breaks = np.searchsorted(rows, np.arange(rows[-1] + 2))
-    for r in range(1, rows[-1] + 1):
-        a0, a1 = row_breaks[r - 1], row_breaks[r]
-        b0, b1 = row_breaks[r], row_breaks[r + 1]
-        if a0 == a1 or b0 == b1:
-            continue
-        # for each run b in row r, overlapping runs a in row r-1 satisfy
-        # a.start < b.end and a.end > b.start; runs within a row are sorted
-        lo = np.searchsorted(ends[a0:a1], starts[b0:b1], side="right")
-        hi = np.searchsorted(starts[a0:a1], ends[b0:b1], side="left")
-        for bi in range(b1 - b0):
-            for ai in range(lo[bi], hi[bi]):
-                ra, rb = find(a0 + ai), find(b0 + bi)
-                if ra != rb:
-                    parent[rb] = ra
-
-    roots = np.fromiter((find(i) for i in range(n_runs)), dtype=np.int64, count=n_runs)
-    uniq, labels = np.unique(roots, return_inverse=True)
+    uniq, labels = np.unique(labels, return_inverse=True)
     n = len(uniq)
-    left = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
-    right = np.zeros(n, dtype=np.int32)
-    top = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
-    bottom = np.zeros(n, dtype=np.int32)
-    area = np.zeros(n, dtype=np.int32)
+    left = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    right = np.zeros(n, dtype=np.int64)
+    top = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    bottom = np.zeros(n, dtype=np.int64)
+    area = np.zeros(n, dtype=np.int64)
     np.minimum.at(left, labels, starts)
     np.maximum.at(right, labels, ends - 1)
     np.minimum.at(top, labels, rows)
     np.maximum.at(bottom, labels, rows)
     np.add.at(area, labels, ends - starts)
-    return Components(left, top, right, bottom, area)
+    return Components(
+        left.astype(np.int32),
+        top.astype(np.int32),
+        right.astype(np.int32),
+        bottom.astype(np.int32),
+        area.astype(np.int32),
+    )

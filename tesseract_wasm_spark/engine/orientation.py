@@ -20,6 +20,10 @@ shape — evidence grows with page size. English text has far more ascender than
 descender ink, so the upright axis scores strongly positive, the 180° flip
 strongly negative, and a sideways page — whose y-band "lines" are implausibly
 short — scores ~0.
+
+All counting is whole-line-strip numpy row sums (no per-component work); the
+caller passes the already-computed segmentation for the upright axis so only
+the 90° axis costs an extra labeling pass.
 """
 
 from __future__ import annotations
@@ -27,21 +31,31 @@ from __future__ import annotations
 import numpy as np
 
 from tesseract_wasm_spark.engine.components import label_components
-from tesseract_wasm_spark.engine.segment import segment
+from tesseract_wasm_spark.engine.segment import Line, segment
 from tesseract_wasm_spark.font import BASELINE_ROW, CELL_H, XHEIGHT_TOP
 
 DECISION_MARGIN = 5.0  # reference: src/lib.cpp:280 "fabs(up_confidence) - fabs(left_confidence) > 5.0"
 MIN_VALID_INK_FRACTION = 0.5
 MIN_LINE_HEIGHT = CELL_H - XHEIGHT_TOP  # 8: a line with at least one ascender
 MAX_LINE_HEIGHT = CELL_H  # 11: full ascender+descender band
+# SCALE calibrates our hash-glyph font's weaker ascender/descender asymmetry
+# (3-row asc vs 3-row desc bands, ~50% ink density) to the magnitude range
+# Leptonica's confidences reach on natural fonts, so the reference's literal
+# 5.0 axis margin (src/lib.cpp:280) stays meaningful.
+SCALE = 2.5
 
 
-def updown_score(mask: np.ndarray) -> float:
-    comps = label_components(mask)
-    if comps.n == 0:
+def updown_score(mask: np.ndarray, lines: list[Line] | None = None) -> float:
+    """Ascender-vs-descender z-score over plausible text-line strips."""
+    if lines is None:
+        lines = segment(label_components(mask))
+    if not lines:
         return 0.0
-    lines = segment(comps)
-    total_ink = int(comps.area.sum())
+    # one row-sum pass over the whole mask serves every line strip
+    row_ink = mask.sum(axis=1, dtype=np.int64)
+    total_ink = int(row_ink.sum())
+    if total_ink == 0:
+        return 0.0
     asc = desc = 0
     valid_ink = 0
     for line in lines:
@@ -49,29 +63,23 @@ def updown_score(mask: np.ndarray) -> float:
         if not (MIN_LINE_HEIGHT <= height <= MAX_LINE_HEIGHT) or len(line.words) < 2:
             continue
         xheight_top = line.baseline - (BASELINE_ROW - XHEIGHT_TOP)  # baseline - 4
-        for word in line.words:
-            for ci in word.comp_idx:
-                t, b = int(comps.top[ci]), int(comps.bottom[ci])
-                l, r = int(comps.left[ci]), int(comps.right[ci])
-                sub = mask[t : b + 1, l : r + 1]
-                rows = sub.sum(axis=1)
-                row_idx = np.arange(t, b + 1)
-                asc += int(rows[row_idx < xheight_top].sum())
-                desc += int(rows[row_idx > line.baseline].sum())
-                valid_ink += int(rows.sum())
-    if total_ink == 0 or valid_ink / total_ink < MIN_VALID_INK_FRACTION:
+        strip = row_ink[line.top : line.bottom + 1]
+        rows = np.arange(line.top, line.bottom + 1)
+        asc += int(strip[rows < xheight_top].sum())
+        desc += int(strip[rows > line.baseline].sum())
+        valid_ink += int(strip.sum())
+    if valid_ink / total_ink < MIN_VALID_INK_FRACTION:
         return 0.0
-    # SCALE calibrates our hash-glyph font's weaker ascender/descender
-    # asymmetry (3-row asc vs 3-row desc bands, ~50% ink density) to the
-    # magnitude range Leptonica's confidences reach on natural fonts, so the
-    # reference's literal 5.0 axis margin (src/lib.cpp:280) stays meaningful.
-    SCALE = 2.5
     return float(SCALE * (asc - desc) / np.sqrt(asc + desc + 1.0))
 
 
-def detect_orientation(mask: np.ndarray) -> tuple[int, float]:
-    """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0})."""
-    up_conf = updown_score(mask)
+def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None) -> tuple[int, float]:
+    """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0}).
+
+    ``lines``: the page's already-computed upright segmentation (reused for
+    up_conf — the reference similarly runs OSD on the already-thresholded
+    image, src/lib.cpp:250-261); the 90° axis is segmented on demand."""
+    up_conf = updown_score(mask, lines)
     left_conf = updown_score(np.rot90(mask, k=1))  # CCW: upright iff page is 90° CW
     if max(abs(up_conf), abs(left_conf)) < 1.0:
         return 0, 0.0  # detection failed (reference: src/lib.cpp:264-268)

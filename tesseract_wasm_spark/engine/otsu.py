@@ -12,12 +12,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def grayscale(rgba: np.ndarray) -> np.ndarray:
-    """uint8[H,W,4] -> uint8[H,W] integer luma ((77R + 150G + 29B) >> 8)."""
-    r = rgba[..., 0].astype(np.uint32)
-    g = rgba[..., 1].astype(np.uint32)
-    b = rgba[..., 2].astype(np.uint32)
-    return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+def grayscale(img: np.ndarray) -> np.ndarray:
+    """uint8[H,W,C] -> uint8[H,W] integer luma ((77R + 150G + 29B) >> 8).
+
+    Single-channel input is returned as a view (no copy). RGBA math runs in
+    uint16 (77*255 + 150*255 + 29*255 = 65280 fits), halving the temp traffic
+    of a uint32 formulation — this path is bandwidth-critical at 32-way
+    concurrency."""
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 1:
+        return img[..., 0]
+    acc = img[..., 0].astype(np.uint16) * np.uint16(77)
+    acc += img[..., 1].astype(np.uint16) * np.uint16(150)
+    acc += img[..., 2].astype(np.uint16) * np.uint16(29)
+    return (acc >> 8).astype(np.uint8)
 
 
 def otsu_threshold(gray: np.ndarray) -> int:

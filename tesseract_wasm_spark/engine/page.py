@@ -86,7 +86,7 @@ def process_rgba(rgba: np.ndarray, *, with_text: bool = True, with_orientation: 
             res.layout_boxes.append((word.left, word.top, word.right, word.bottom, flags))
 
     if with_orientation:
-        res.rotation, res.orient_confidence = detect_orientation(mask)
+        res.rotation, res.orient_confidence = detect_orientation(mask, lines)
 
     if not with_text:
         return res

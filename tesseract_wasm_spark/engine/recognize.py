@@ -9,6 +9,10 @@ line baseline and matched against the full template set in one batched matmul
 (numpy BLAS — the analog of the reference's SIMD dot-product path,
 src/tesseract-init.js:30-39 ENV.DOTPRODUCT="sse").
 
+Fully vectorized: cell extraction is a strided reshape per word (no per-glyph
+Python), matching is one [n_cells, n_templates] matmul per page, and the
+decode (exact / partial / replacement) is numpy select logic.
+
 Confidence semantics follow the reference: a score in [0, 1] per word
 (reference converts Tesseract's percentage via ``Confidence(level) * 0.01`` —
 src/lib.cpp:302-304). An exact template match scores 1.0; otherwise the best
@@ -26,84 +30,162 @@ from tesseract_wasm_spark.font import (
     BASELINE_ROW,
     CELL_H,
     CELL_W,
-    DESC_BOTTOM,
     REPLACEMENT_CHAR,
     template_matrix,
 )
 
 MIN_PARTIAL_OVERLAP = 0.5
 
+_F32_CACHE: dict[str, tuple] = {}
+
+
+def _templates_f32():
+    """Cached float32 template matrix + ink sums (avoid per-page astype)."""
+    if "t" not in _F32_CACHE:
+        templates, chars = template_matrix()
+        t = templates.astype(np.float32)
+        _F32_CACHE["t"] = (t, t.sum(axis=1), np.frombuffer(chars.encode("latin-1"), dtype=np.uint8))
+    return _F32_CACHE["t"]
+
+
+def _pack_keys(bits: np.ndarray) -> np.ndarray:
+    """bool[N, CELL_H*CELL_W] -> uint64[N]: the 55-bit cell bitmap as one
+    integer key (packbits zero-pads to 56 bits, consistently on both sides)."""
+    packed = np.packbits(bits, axis=1)  # [N, 7] uint8
+    out = np.zeros((bits.shape[0], 8), dtype=np.uint8)
+    out[:, :7] = packed
+    return out.view(">u8")[:, 0]
+
+
+def _template_keys():
+    """Cached (sorted template keys, chars in key order) for the exact-match
+    fast path: recognizing a clean page is one packbits + one searchsorted,
+    no dense matmul (the analog of the reference's beam-search early exit)."""
+    if "k" not in _F32_CACHE:
+        templates, chars = template_matrix()
+        keys = _pack_keys(templates)
+        order = np.argsort(keys)
+        _F32_CACHE["k"] = (
+            keys[order],
+            np.frombuffer(chars.encode("latin-1"), dtype=np.uint8)[order],
+        )
+    return _F32_CACHE["k"]
+
 
 def _extract_cells(mask: np.ndarray, lines: list[Line]) -> tuple[np.ndarray, list[tuple[int, int, int]]]:
     """Slice every word of every line into glyph cells.
 
-    Returns (cells [N, CELL_H*CELL_W] float32, index [(line_i, word_i, n_cells)]).
+    Returns (cells [N, CELL_H*CELL_W] bool, index [(line_i, word_i, n_cells)]).
     Cells are aligned vertically by the line baseline: rows
     [baseline - BASELINE_ROW, baseline + (CELL_H - 1 - BASELINE_ROW)].
     """
     h, w = mask.shape
-    cells = []
-    index = []
+    blocks: list[np.ndarray] = []
+    index: list[tuple[int, int, int]] = []
     for li, line in enumerate(lines):
-        band_top = line.baseline - BASELINE_ROW
+        r0 = line.baseline - BASELINE_ROW
+        r1 = r0 + CELL_H
+        sr0, sr1 = max(r0, 0), min(r1, h)
         for wi, word in enumerate(line.words):
             width = word.right - word.left + 1
             n = max(1, -(-width // ADV))  # ceil
-            for k in range(n):
-                x0 = word.left + k * ADV
-                cell = np.zeros((CELL_H, CELL_W), dtype=bool)
-                r0, r1 = band_top, band_top + CELL_H
-                c0, c1 = x0, x0 + CELL_W
-                sr0, sr1 = max(r0, 0), min(r1, h)
-                sc0, sc1 = max(c0, 0), min(c1, w)
-                if sr0 < sr1 and sc0 < sc1:
-                    cell[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]
-                cells.append(cell.reshape(-1))
+            span = n * ADV
+            band = np.zeros((CELL_H, span), dtype=bool)
+            c0, c1 = word.left, word.left + span
+            sc0, sc1 = max(c0, 0), min(c1, w)
+            if sr0 < sr1 and sc0 < sc1:
+                band[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]
+            # row-major reshape splits each row into n chunks of ADV columns;
+            # dropping the spacer column yields the n glyph cells in order
+            cells = band.reshape(CELL_H, n, ADV)[:, :, :CELL_W]
+            blocks.append(cells.transpose(1, 0, 2).reshape(n, CELL_H * CELL_W))
             index.append((li, wi, n))
-    if not cells:
-        return np.zeros((0, CELL_H * CELL_W), dtype=np.float32), index
-    return np.stack(cells).astype(np.float32), index
+    if not index:
+        return np.zeros((0, CELL_H * CELL_W), dtype=bool), index
+    return np.concatenate(blocks), index
 
 
 def recognize_words(mask: np.ndarray, lines: list[Line]) -> list[list[tuple[str, float]]]:
     """Per line, per word: (text, confidence). Batched over the whole page."""
-    templates, chars = template_matrix()
-    t = templates.astype(np.float32)  # [G, P]
-    cells, index = _extract_cells(mask, lines)
+    cells_bool, index = _extract_cells(mask, lines)
     results: list[list[tuple[str, float]]] = [[] for _ in lines]
     if len(index) == 0:
         return results
-    # hamming distance via two matmuls: |c XOR t| = c@(1-t)^T + (1-c)@t^T
-    inter = cells @ t.T  # [N, G] intersection counts
-    cell_ink = cells.sum(axis=1, keepdims=True)
-    tmpl_ink = t.sum(axis=1, keepdims=True).T
-    union = cell_ink + tmpl_ink - inter
-    hamming = union - inter
-    best = np.argmin(hamming, axis=1)
-    n_cells_total = cells.shape[0]
-    best_h = hamming[np.arange(n_cells_total), best]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jacc = np.where(union[np.arange(n_cells_total), best] > 0,
-                        inter[np.arange(n_cells_total), best]
-                        / np.maximum(union[np.arange(n_cells_total), best], 1e-9),
-                        0.0)
-    pos = 0
-    for li, wi, n in index:
-        glyphs = []
-        confs = []
-        for k in range(pos, pos + n):
-            if cells[k].sum() == 0:
-                glyphs.append(REPLACEMENT_CHAR)
-                confs.append(0.0)
-            elif best_h[k] == 0:
-                glyphs.append(chars[best[k]])
-                confs.append(1.0)
-            elif jacc[k] >= MIN_PARTIAL_OVERLAP:
-                glyphs.append(chars[best[k]])
-                confs.append(float(jacc[k]))
-            else:
-                glyphs.append(REPLACEMENT_CHAR)
-                confs.append(float(jacc[k]))
-        pos += n
-        results[li].append(("".join(glyphs), float(np.mean(confs))))
+
+    # fast path: bitpacked exact match (covers every cell on clean pages)
+    tkeys, tchars = _template_keys()
+    keys = _pack_keys(cells_bool)
+    pos = np.searchsorted(tkeys, keys)
+    pos_c = np.minimum(pos, len(tkeys) - 1)
+    exact = tkeys[pos_c] == keys
+    n = cells_bool.shape[0]
+    conf = exact.astype(np.float64)
+    chars_arr = tchars[pos_c]  # valid where exact
+    use_repl = np.zeros(n, dtype=bool)
+
+    miss = np.flatnonzero(~exact)
+    if miss.size:
+        # slow path (garbage/degraded cells only): nearest template by
+        # Hamming distance via one small matmul, Jaccard confidence
+        t, tmpl_ink, chars_bytes = _templates_f32()  # [G, P]
+        sub = cells_bool[miss].astype(np.float32)
+        inter = sub @ t.T  # [M, G]
+        cell_ink = sub.sum(axis=1)
+        union = cell_ink[:, None] + tmpl_ink[None, :] - inter
+        hamming = union - inter
+        rows = np.arange(miss.size)
+        best = np.argmin(hamming, axis=1)
+        jacc = inter[rows, best] / np.maximum(union[rows, best], 1e-9)
+        no_ink = cell_ink == 0
+        conf[miss] = np.where(no_ink, 0.0, jacc)
+        chars_arr[miss] = chars_bytes[best]
+        use_repl[miss] = no_ink | (jacc < MIN_PARTIAL_OVERLAP)
+
+    # bulk decode: slice one latin-1 string per word; per-word confidence via
+    # segmented reduceat (no per-cell Python in the common all-exact case)
+    lens = np.fromiter((k for _, _, k in index), dtype=np.int64, count=len(index))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    word_conf = np.add.reduceat(conf, starts) / lens
+    word_has_repl = np.add.reduceat(use_repl.astype(np.int64), starts) > 0
+    word_has_miss = np.add.reduceat((~exact).astype(np.int64), starts) > 0
+    all_chars = chars_arr.tobytes().decode("latin-1")
+    retry_lines: set[int] = set()
+    for w, (li, wi, k) in enumerate(index):
+        s, e = starts[w], starts[w] + k
+        if word_has_miss[w]:
+            retry_lines.add(li)
+        if word_has_repl[w]:
+            text = "".join(
+                REPLACEMENT_CHAR if use_repl[i] else all_chars[i] for i in range(s, e)
+            )
+        else:
+            text = all_chars[s:e]
+        results[li].append((text, float(word_conf[w])))
+
+    # baseline-correction retry: a line whose glyphs are ALL descenders has no
+    # baseline-row bottoms, so segment() anchors DESC_ROWS too low; the font is
+    # shift-unique (font.glyph_table), so the misalignment shows up as
+    # unmatched cells rather than wrong text. Retry those lines 3 rows up and
+    # accept only a perfect match.
+    from tesseract_wasm_spark.engine.segment import DESC_ROWS  # noqa: PLC0415
+
+    for li in retry_lines:
+        line = lines[li]
+        fixed = Line(
+            top=line.top, bottom=line.bottom,
+            baseline=line.baseline - DESC_ROWS, words=line.words,
+        )
+        cells2, idx2 = _extract_cells(mask, [fixed])
+        keys2 = _pack_keys(cells2)
+        pos2 = np.minimum(np.searchsorted(tkeys, keys2), len(tkeys) - 1)
+        if not (tkeys[pos2] == keys2).all():
+            continue
+        decoded = tchars[pos2].tobytes().decode("latin-1")
+        out = []
+        p = 0
+        for _, _, k in idx2:
+            out.append((decoded[p : p + k], 1.0))
+            p += k
+        results[li] = out
+        line.baseline -= DESC_ROWS
     return results

@@ -5,10 +5,11 @@ src/lib.cpp:177-180 SetPageSegMode(PSM_AUTO); AnalyseLayout src/lib.cpp:198-201)
 at the granularity the API exposes: text lines and words with bounding boxes
 (TextUnit Word | Line — reference: src/lib.cpp:43-46).
 
-Algorithm (deterministic, font-geometry aware — see font.py):
-  - lines: components sorted by top, clustered by y-interval overlap (glyph
-    cells are CELL_H tall, line pitch leaves >= LINE_GAP blank rows between
-    consecutive line bands, so overlap clustering is exact on upright pages).
+Algorithm (deterministic, font-geometry aware — see font.py; vectorized):
+  - lines: components sorted by top; a new line starts where a component's top
+    exceeds the running max bottom of everything above it (text lines are
+    vertically separated by >= LINE_GAP blank rows, so the global
+    maximum.accumulate is exact on upright pages).
   - baseline per line: every glyph is one component whose bottom row is either
     the baseline (non-descenders) or baseline + DESC_ROWS (descenders), so the
     baseline is recovered from the component-bottom histogram. This plays the
@@ -17,7 +18,8 @@ Algorithm (deterministic, font-geometry aware — see font.py):
   - words: within a line, components sorted by left edge; a gap of >= ADV
     blank columns separates words (intra-word gaps are at most ADV-1 because
     glyphs are left-aligned in their cells; the space advance guarantees
-    inter-word gaps of at least ADV+1).
+    inter-word gaps of at least ADV+1). Vectorized via maximum.accumulate of
+    right edges + cumsum of break flags.
 """
 
 from __future__ import annotations
@@ -38,7 +40,6 @@ class Word:
     top: int
     right: int
     bottom: int
-    comp_idx: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -73,40 +74,68 @@ def segment(comps: Components) -> list[Line]:
     if comps.n == 0:
         return []
     order = np.argsort(comps.top, kind="stable")
-    lines_idx: list[list[int]] = []
-    band_bottom = -1
-    for i in order:
-        if comps.top[i] > band_bottom:
-            lines_idx.append([])
-            band_bottom = int(comps.bottom[i])
-        else:
-            band_bottom = max(band_bottom, int(comps.bottom[i]))
-        lines_idx[-1].append(int(i))
+    tops = comps.top[order]
+    bottoms = comps.bottom[order]
+    # line break where a component starts below everything seen so far
+    run_max_bottom = np.maximum.accumulate(bottoms)
+    lbreaks = np.empty(len(order), dtype=bool)
+    lbreaks[0] = True
+    lbreaks[1:] = tops[1:] > run_max_bottom[:-1]
+    line_of = np.empty(comps.n, dtype=np.int64)
+    line_of[order] = np.cumsum(lbreaks) - 1
+    n_lines = int(line_of[order[-1]] + 1)
 
-    lines: list[Line] = []
-    for idx in lines_idx:
-        idx_arr = np.array(idx)
-        lefts = comps.left[idx_arr]
-        order_x = np.argsort(lefts, kind="stable")
-        idx_sorted = idx_arr[order_x]
-        baseline = estimate_baseline(comps.bottom[idx_arr])
-        line = Line(
-            top=int(comps.top[idx_arr].min()),
-            bottom=int(comps.bottom[idx_arr].max()),
-            baseline=baseline,
+    # global (line, left) ordering; segmented running-max of right edges via
+    # the per-line offset trick (offsets dominate any earlier segment's max)
+    order2 = np.lexsort((comps.left, line_of))
+    li2 = line_of[order2]
+    lefts = comps.left[order2].astype(np.int64)
+    rights = comps.right[order2].astype(np.int64)
+    ctops = comps.top[order2].astype(np.int64)
+    cbots = comps.bottom[order2].astype(np.int64)
+    big = np.int64(1) << 32
+    runmax = np.maximum.accumulate(rights + li2 * big) - li2 * big
+    new_line = np.empty(len(order2), dtype=bool)
+    new_line[0] = True
+    new_line[1:] = li2[1:] != li2[:-1]
+    wbreaks = new_line.copy()
+    wbreaks[1:] |= lefts[1:] - runmax[:-1] - 1 >= ADV
+    wids = np.cumsum(wbreaks) - 1
+    n_words = int(wids[-1] + 1)
+
+    imax = np.iinfo(np.int64).max
+    wl = np.full(n_words, imax); wt = np.full(n_words, imax)
+    wr = np.full(n_words, -1); wb = np.full(n_words, -1)
+    np.minimum.at(wl, wids, lefts)
+    np.minimum.at(wt, wids, ctops)
+    np.maximum.at(wr, wids, rights)
+    np.maximum.at(wb, wids, cbots)
+    word_line = li2[wbreaks]  # line id of each word (its first component)
+
+    # per-line stats
+    lt = np.full(n_lines, imax); lb = np.full(n_lines, -1)
+    np.minimum.at(lt, li2, ctops)
+    np.maximum.at(lb, li2, cbots)
+
+    # vectorized baseline per line (same rule as estimate_baseline): histogram
+    # of bottoms relative to line top; smallest value whose +DESC_ROWS twin
+    # exists wins, else the mode (first max = smallest among ties).
+    bins = 64
+    rel = np.minimum(cbots - lt[li2], bins - 1 - DESC_ROWS)
+    counts = np.bincount(li2 * bins + rel, minlength=n_lines * bins).reshape(n_lines, bins)
+    exists = counts > 0
+    both = exists[:, : bins - DESC_ROWS] & exists[:, DESC_ROWS:]
+    has_pair = both.any(axis=1)
+    baseline_rel = np.where(has_pair, np.argmax(both, axis=1), np.argmax(counts, axis=1))
+    baselines = lt + baseline_rel
+
+    lines = [
+        Line(top=int(lt[li]), bottom=int(lb[li]), baseline=int(baselines[li]))
+        for li in range(n_lines)
+    ]
+    for wi in range(n_words):
+        lines[word_line[wi]].words.append(
+            Word(left=int(wl[wi]), top=int(wt[wi]), right=int(wr[wi]), bottom=int(wb[wi]))
         )
-        cur: Word | None = None
-        for ci in idx_sorted:
-            cl, cr = int(comps.left[ci]), int(comps.right[ci])
-            if cur is not None and cl - cur.right - 1 < ADV:
-                cur.left = min(cur.left, cl)
-                cur.right = max(cur.right, cr)
-                cur.top = min(cur.top, int(comps.top[ci]))
-                cur.bottom = max(cur.bottom, int(comps.bottom[ci]))
-                cur.comp_idx.append(int(ci))
-            else:
-                cur = Word(cl, int(comps.top[ci]), cr, int(comps.bottom[ci]), [int(ci)])
-                line.words.append(cur)
-        lines.append(line)
-    # reading order: top-to-bottom (already), words left-to-right (already)
+    # reading order: lines top-to-bottom, words left-to-right (by construction)
     return lines

@@ -102,23 +102,41 @@ def _grow_glyph(ch: str, salt: int) -> np.ndarray:
     return cell
 
 
+def _shifted(cell: np.ndarray, dy: int) -> np.ndarray:
+    out = np.zeros_like(cell)
+    if dy > 0:
+        out[dy:, :] = cell[:-dy, :]
+    elif dy < 0:
+        out[:dy, :] = cell[-dy:, :]
+    else:
+        out = cell
+    return out
+
+
 @lru_cache(maxsize=1)
 def glyph_table() -> dict[str, np.ndarray]:
-    """char -> CELL_H x CELL_W bool ink bitmap; unique per char by construction."""
+    """char -> CELL_H x CELL_W bool ink bitmap.
+
+    Uniqueness is enforced not just in place but under vertical shifts of
+    +-DESC rows (3): an all-descender line offers no non-descender bottoms to
+    anchor the baseline, so its glyphs may be matched 3 rows off — shift
+    uniqueness guarantees such a misalignment can never silently match the
+    wrong template (the recognizer then retries the corrected baseline)."""
+    desc = DESC_BOTTOM - BASELINE_ROW
     table: dict[str, np.ndarray] = {}
-    seen: dict[bytes, str] = {}
+    seen: set[bytes] = set()
     for ch in PRINTABLE:
         if ch == " ":
             continue
         salt = 0
         while True:
             cell = _grow_glyph(ch, salt)
-            key = cell.tobytes()
-            if key not in seen:
-                seen[key] = ch
+            variants = [_shifted(cell, dy).tobytes() for dy in (-desc, 0, desc)]
+            if not any(v in seen for v in variants):
+                seen.update(variants)
                 table[ch] = cell
                 break
-            salt += 1  # pragma: no cover - collisions are astronomically rare
+            salt += 1
     return table
 
 

@@ -26,11 +26,12 @@ INK = 20  # ink gray level
 PAPER = 245  # paper gray level
 
 
-def render_page(lines: list[str], *, rot: int = 0) -> np.ndarray:
-    """Render text lines to uint8[H, W, 4] RGBA. ``rot`` in {0,90,180,270}
-    rotates the page content clockwise (mirrors the reference's metamorphic
-    orientation test, test/ocr-engine-test.js:340-352, which rotates the
-    fixture with sharp before calling getOrientation)."""
+def render_page(lines: list[str], *, rot: int = 0, channels: int = 4) -> np.ndarray:
+    """Render text lines to uint8[H, W, channels] (4 = RGBA like the
+    reference's ImageData input, 1 = grayscale — the at-scale storage format).
+    ``rot`` in {0,90,180,270} rotates the page content clockwise (mirrors the
+    reference's metamorphic orientation test, test/ocr-engine-test.js:340-352,
+    which rotates the fixture with sharp before calling getOrientation)."""
     table = glyph_table()
     n_cols = max((len(ln) for ln in lines), default=0)
     w = 2 * MARGIN + max(1, n_cols * ADV)
@@ -47,14 +48,17 @@ def render_page(lines: list[str], *, rot: int = 0) -> np.ndarray:
             block[cell] = INK
     if rot:
         img = np.rot90(img, k=(-rot // 90) % 4)  # numpy rot90 is CCW; rot is CW
+    if channels == 1:
+        return np.ascontiguousarray(img)[:, :, None]
     rgba = np.empty((*img.shape, 4), dtype=np.uint8)
     rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = img
     rgba[..., 3] = 255
     return rgba
 
 
-def render_page_drf(lines: list[str], *, rot: int = 0) -> bytes:
-    return drf.encode(render_page(lines, rot=rot))
+def render_page_drf(lines: list[str], *, rot: int = 0, channels: int = 1) -> bytes:
+    """DRF payload for the corpus; grayscale by default (see drf.py note)."""
+    return drf.encode(render_page(lines, rot=rot, channels=channels))
 
 
 def empty_page(w: int, h: int) -> np.ndarray:

@@ -15,6 +15,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: One BLAS thread per Python worker: Spark provides the process-level
+#: parallelism; letting OpenBLAS also fan out oversubscribes cores ~32x and
+#: *destroys* scaling (measured: 32 concurrent workers ran 1.8x slower per
+#: task than 8). Same rule as any multi-executor numpy deployment.
+_BLAS_PIN = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
+
 def get_spark(
     app_name: str = "tesseract-wasm-spark",
     *,
@@ -22,6 +35,8 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    for k, v in _BLAS_PIN.items():
+        os.environ.setdefault(k, v)  # local mode: python workers inherit this
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(32, cores)
     builder = (
@@ -39,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # propagate the BLAS pin to executor-spawned python workers on a
+        # real cluster (harmless duplicate of the env in local mode)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

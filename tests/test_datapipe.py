@@ -167,7 +167,8 @@ def test_media_metadata_and_thumbnails(spark):
     pages = fixtures_df(spark, n_corpus_pages=2)
     meta = {r["url"].rsplit("/", 1)[-1]: r for r in media_metadata(pages).collect()}
     assert meta["small-page"]["format"] == "drf"
-    assert meta["small-page"]["channels"] == 4
+    assert meta["small-page"]["channels"] == 1  # corpus pages are gray DRF
+    assert meta["empty-100x100"]["channels"] == 4  # RGBA path still exercised
     assert meta["bad-buffer"]["decode_error"] == "Image data length does not match width/height"
     th = thumbnails(pages, max_side=32).collect()
     assert all(r["thumb_w"] <= 32 and r["thumb_h"] <= 32 for r in th)
