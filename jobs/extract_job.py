@@ -1,0 +1,55 @@
+"""Batch extraction job — the spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files twspark.zip jobs/extract_job.py \
+        --input  s3://bucket/pages_table \
+        --output s3://bucket/ocr_out \
+        [--layout-only] [--partitions N] [--cores N]
+
+Usage (local sandbox):
+    python jobs/extract_job.py --input /tmp/pages.parquet --output /tmp/out
+
+Mirrors the reference's one-shot CLI shape (examples/node-cli/ocr.js:38-62:
+load model -> decode -> recognize -> emit, progress to stderr) at cluster
+scale: resume-aware (only urls missing from the results table are processed),
+with per-partition lineage/metrics appended each run.
+
+Build the --py-files zip with:  python jobs/make_pyfiles.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    ap.add_argument("--output", required=True, help="output dir (results/ + metrics/)")
+    ap.add_argument("--layout-only", action="store_true",
+                    help="skip recognition (reference getBoundingBoxes path)")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local mode cores (ignored under a real cluster master)")
+    args = ap.parse_args()
+
+    from tesseract_wasm_spark.scale import run_with_resume
+    from tesseract_wasm_spark.session import get_spark
+
+    spark = get_spark("twspark-extract", cores=args.cores)
+    pages = spark.read.parquet(args.input)
+    summary = run_with_resume(
+        spark,
+        pages,
+        args.output,
+        with_text=not args.layout_only,
+        num_partitions=args.partitions,
+    )
+    print(json.dumps(summary), file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
