@@ -38,15 +38,19 @@ class Components:
 
 
 def _runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Extract horizontal ink runs: (row, start_col, end_col_exclusive)."""
-    h, w = mask.shape
-    padded = np.zeros((h, w + 2), dtype=bool)
-    padded[:, 1:-1] = mask
-    diff = np.diff(padded.astype(np.int8), axis=1)
-    rows_s, starts = np.nonzero(diff == 1)
-    rows_e, ends = np.nonzero(diff == -1)
-    # starts/ends are aligned per row by construction of diff
-    return rows_s.astype(np.int64), starts.astype(np.int64), ends.astype(np.int64)
+    """Extract horizontal ink runs: (row, start_col, end_col_exclusive).
+
+    Edge-masked in place on two copies — no padded buffer, no int8 diff
+    (those temporaries were ~half the page's memory traffic, which is what
+    limits many-worker scaling)."""
+    starts_mask = mask.copy()
+    starts_mask[:, 1:] &= ~mask[:, :-1]
+    ends_mask = mask.copy()
+    ends_mask[:, :-1] &= ~mask[:, 1:]
+    rows_s, starts = np.nonzero(starts_mask)
+    _, ends_incl = np.nonzero(ends_mask)
+    # per row both lists are sorted and 1:1 (every run has one start, one end)
+    return rows_s.astype(np.int64), starts.astype(np.int64), (ends_incl + 1).astype(np.int64)
 
 
 def label_components(mask: np.ndarray) -> Components:

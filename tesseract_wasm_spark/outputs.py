@@ -16,6 +16,26 @@ START_OF_LINE = 1
 END_OF_LINE = 2
 
 
+def extract_all(results: DataFrame) -> dict[str, DataFrame]:
+    """Persist the extraction result once and derive every output surface —
+    the explicit form of the reference's memoization (``getText`` after
+    ``getTextBoxes`` is free, src/lib.cpp:325-331; SURVEY.md §4 O2). Callers
+    must unpersist results when done."""
+    results.persist()
+    words = words_df(results)
+    lines = lines_df(words)
+    return {
+        "results": results,
+        "words": words,
+        "lines": lines,
+        "text": page_text_df(results),
+        "layout": layout_df(results),
+        "orientation": orientation_df(results),
+        "errors": errors_df(results),
+        "hocr": hocr_df(results),
+    }
+
+
 def words_df(results: DataFrame) -> DataFrame:
     """Exploded word-level TextItems (reference getTextBoxes("word") —
     src/ocr-engine.ts:255-267): one row per word per url."""
@@ -29,12 +49,33 @@ def words_df(results: DataFrame) -> DataFrame:
 def layout_df(results: DataFrame) -> DataFrame:
     """Layout-only BoxItems (reference getBoundingBoxes — src/lib.cpp:197-203):
     no text/confidence, empty pages yield zero rows (the reference quirk is
-    OCR-path-only — test/ocr-engine-test.js:211-229)."""
-    return (
+    OCR-path-only — test/ocr-engine-test.js:211-229).
+
+    On a layout-only run (``ocr_pages(with_text=False)``) the boxes come from
+    the layout_boxes column; on a full OCR run that column is intentionally
+    empty and boxes come from the recognized words — mirroring the reference,
+    where getBoundingBoxes after recognition returns OCR-quality boxes
+    (src/ocr-engine.ts:236-239)."""
+    from_layout = (
         results.filter(F.col("error").isNull())
         .select("url", F.posexplode("layout_boxes").alias("box_id", "b"))
         .select("url", "box_id", "b.*")
     )
+    from_words = (
+        results.filter(F.col("error").isNull() & (F.size("layout_boxes") == 0))
+        .select("url", F.explode("words").alias("w"))
+        .filter((F.col("w.text") != "") | (F.col("w.right") != 0))  # drop quirk row
+        .select(
+            "url",
+            F.col("w.word_id").alias("box_id"),
+            F.col("w.left").alias("left"),
+            F.col("w.top").alias("top"),
+            F.col("w.right").alias("right"),
+            F.col("w.bottom").alias("bottom"),
+            F.lit(0).alias("flags"),
+        )
+    )
+    return from_layout.unionByName(from_words)
 
 
 def lines_df(words: DataFrame) -> DataFrame:

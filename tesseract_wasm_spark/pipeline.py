@@ -101,6 +101,18 @@ def ocr_pages(
                 res = process_page(
                     bytes(payload), with_text=with_text, with_orientation=with_orientation
                 )
+                # layout_boxes duplicate the words' rects on a full OCR run
+                # (the reference returns OCR boxes from getBoundingBoxes once
+                # recognition ran — src/ocr-engine.ts:236-239), so they are
+                # emitted only on the layout-only path; halves result size.
+                layout = (
+                    []
+                    if with_text
+                    else [
+                        {"left": b[0], "top": b[1], "right": b[2], "bottom": b[3], "flags": b[4]}
+                        for b in res.layout_boxes
+                    ]
+                )
                 out.append(
                     {
                         "url": url,
@@ -111,10 +123,7 @@ def ocr_pages(
                         "rotation": res.rotation,
                         "orient_confidence": res.orient_confidence,
                         "words": [vars(w) for w in res.words],
-                        "layout_boxes": [
-                            {"left": b[0], "top": b[1], "right": b[2], "bottom": b[3], "flags": b[4]}
-                            for b in res.layout_boxes
-                        ],
+                        "layout_boxes": layout,
                         "page_text": res.page_text,
                     }
                 )
