@@ -32,7 +32,7 @@ from tesseract_wasm_spark.engine.components import label_components
 from tesseract_wasm_spark.engine.orientation import detect_orientation
 from tesseract_wasm_spark.engine.otsu import binarize
 from tesseract_wasm_spark.engine.recognize import recognize_words
-from tesseract_wasm_spark.engine.segment import segment
+from tesseract_wasm_spark.engine.segment import estimate_skew_degrees, segment
 
 START_OF_LINE = 1  # reference: src/lib.cpp:19-24 LayoutFlags
 END_OF_LINE = 2
@@ -59,6 +59,7 @@ class PageResult:
     error: str | None = None
     rotation: int = 0
     orient_confidence: float = 0.0
+    skew_degrees: float = 0.0
     words: list[WordBox] = field(default_factory=list)
     layout_boxes: list[tuple[int, int, int, int, int]] = field(default_factory=list)
     page_text: str = ""
@@ -87,6 +88,7 @@ def process_rgba(rgba: np.ndarray, *, with_text: bool = True, with_orientation: 
 
     if with_orientation:
         res.rotation, res.orient_confidence = detect_orientation(mask, lines)
+        res.skew_degrees = estimate_skew_degrees(comps, lines)
 
     if not with_text:
         return res

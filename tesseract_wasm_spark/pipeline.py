@@ -45,7 +45,7 @@ LAYOUT_FIELDS = "left int, top int, right int, bottom int, flags int"
 
 RESULT_DDL = (
     "url string, lang string, width int, height int, error string, "
-    "rotation int, orient_confidence double, "
+    "rotation int, orient_confidence double, skew_degrees double, "
     f"words array<struct<{WORD_FIELDS}>>, "
     f"layout_boxes array<struct<{LAYOUT_FIELDS}>>, "
     "page_text string, "
@@ -122,6 +122,7 @@ def ocr_pages(
                         "error": res.error,
                         "rotation": res.rotation,
                         "orient_confidence": res.orient_confidence,
+                        "skew_degrees": res.skew_degrees,
                         "words": [vars(w) for w in res.words],
                         "layout_boxes": layout,
                         "page_text": res.page_text,
@@ -132,7 +133,7 @@ def ocr_pages(
                 out,
                 columns=[
                     "url", "lang", "width", "height", "error", "rotation",
-                    "orient_confidence", "words", "layout_boxes", "page_text",
+                    "orient_confidence", "skew_degrees", "words", "layout_boxes", "page_text",
                 ],
             )
             rdf["partition_id"] = pid

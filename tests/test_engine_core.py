@@ -125,3 +125,10 @@ def test_property_roundtrip_arbitrary_ascii_words(words):
     lines = [" ".join(words)]
     res = process_page(render_page_drf(lines))
     assert res.page_text == expected_text(lines)
+
+
+def test_skew_estimate_near_zero():
+    """P3 analog (GetDeskewVectors — patches/tesseract.diff:118-119): the
+    synthetic rasterizer produces skew-free pages; the estimate must agree."""
+    res = process_page(render_page_drf(SMALL_PAGE_LINES))
+    assert abs(res.skew_degrees) < 0.01

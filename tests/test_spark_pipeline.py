@@ -148,3 +148,18 @@ def test_resume_processes_only_new(spark, pages, tmp_path):
     assert s2["pages"] == pages.count() - n_first
     res = spark.read.parquet(f"{out}/results")
     assert res.count() == pages.count()
+
+
+def test_extract_all_shares_one_result(results):
+    from tesseract_wasm_spark.outputs import extract_all
+
+    surfaces = extract_all(results)
+    assert set(surfaces) == {
+        "results", "words", "lines", "text", "layout", "orientation", "errors", "hocr",
+    }
+    assert surfaces["words"].count() > 0
+    assert surfaces["hocr"].count() > 0
+    # full OCR run: boxes come from the words (layout_boxes intentionally empty)
+    assert surfaces["layout"].count() == surfaces["words"].filter(
+        (F.col("text") != "") | (F.col("right") != 0)
+    ).count()
