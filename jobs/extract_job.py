@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local runs launch this file directly (sys.path[0] = jobs/); on a cluster the
+# package arrives via --py-files instead and this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
