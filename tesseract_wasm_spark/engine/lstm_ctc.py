@@ -1,0 +1,217 @@
+"""P5 v2 — LSTM sequence recognizer + CTC decoding over line images.
+
+The reference's recognition stage is an LSTM running over x-strips of each
+text line with CTC decoding (reference: src/lib.cpp:325-336 Recognize;
+LSTM-only build, Makefile:108 -DDISABLED_LEGACY_ENGINE=ON; SIMD dot-product
+path src/tesseract-init.js:30-39). This module reproduces that *architecture*
+in numpy:
+
+  - a real LSTM forward pass (gates, cell state, tanh saturation) consuming
+    one 11-pixel column of the line band per timestep;
+  - per-timestep logits over (glyphs + CTC blank);
+  - CTC best-path and beam-search decoders (general implementations).
+
+No trained model exists in this environment, so the weights are *constructed*
+instead of learned — the LSTM's input/recurrent weights implement a 5-column
+shift register in the cell state (saturated gates), and the output layer
+scores the registered 55-bit window against every glyph template such that
+logit(char) = -alpha * hamming(window, template) and logit(blank) sits between
+the exact-match score (0) and any 1-bit mismatch (-alpha). Best-path CTC then
+emits a char exactly at each glyph's final column and blank elsewhere.
+The construction is exact, so the decoder provably agrees with the primary
+bitpacked template matcher on clean renders; tests assert that agreement.
+
+This is the v2 path behind the same recognizer interface (SURVEY.md §7);
+the bitpacked matcher stays the production fast path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from tesseract_wasm_spark.engine.segment import Line
+from tesseract_wasm_spark.font import ADV, BASELINE_ROW, CELL_H, CELL_W, template_matrix
+
+BIG = 50.0  # gate saturation: sigmoid(±BIG) ∈ {0,1}, tanh(BIG) = 1 to fp precision
+ALPHA = float(np.tanh(1.0))  # stable hidden activation level for a set bit
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class NumpyLSTM:
+    """Minimal batched LSTM: x [T, D] -> h [T, H]."""
+
+    def __init__(self, w_x: np.ndarray, w_h: np.ndarray, b: np.ndarray) -> None:
+        # gate order: i, f, g, o (each H wide)
+        self.w_x = w_x
+        self.w_h = w_h
+        self.b = b
+        self.hidden = w_h.shape[0]
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        t_steps = x.shape[0]
+        h = np.zeros(self.hidden)
+        c = np.zeros(self.hidden)
+        out = np.empty((t_steps, self.hidden))
+        hh = self.hidden
+        for t in range(t_steps):
+            z = x[t] @ self.w_x + h @ self.w_h + self.b
+            i = _sigmoid(z[:hh])
+            f = _sigmoid(z[hh : 2 * hh])
+            g = np.tanh(z[2 * hh : 3 * hh])
+            o = _sigmoid(z[3 * hh :])
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            out[t] = h
+        return out
+
+
+@lru_cache(maxsize=1)
+def build_recognizer() -> tuple[NumpyLSTM, np.ndarray, np.ndarray, str]:
+    """Construct (lstm, w_out, b_out, chars).
+
+    Hidden layout: 5 blocks of CELL_H units; block 0 mirrors the current
+    column, block j the column j steps back. Shift register via saturated
+    gates: i=1, f=0, o=1; g(block 0) = tanh(BIG * x_t), g(block j) =
+    tanh(BIG * h[block j-1]).
+    """
+    d_in = CELL_H
+    hidden = CELL_H * CELL_W  # 55
+    w_x = np.zeros((d_in, 4 * hidden))
+    w_h = np.zeros((hidden, 4 * hidden))
+    b = np.zeros(4 * hidden)
+    b[:hidden] = BIG  # input gate always open
+    b[hidden : 2 * hidden] = -BIG  # forget gate always closed (pure shift)
+    b[3 * hidden :] = BIG  # output gate always open
+    g0 = 2 * hidden  # offset of the g-gate block
+    for u in range(CELL_H):
+        w_x[u, g0 + u] = BIG  # block 0 <- current column
+    for j in range(1, CELL_W):
+        for u in range(CELL_H):
+            # block j <- previous h of block j-1 (h level is 0 or ALPHA)
+            w_h[(j - 1) * CELL_H + u, g0 + j * CELL_H + u] = BIG / ALPHA * 2
+    lstm = NumpyLSTM(w_x, w_h, b)
+
+    templates, chars = template_matrix()  # [G, CELL_H*CELL_W] bool, row-major cells
+    g_count = len(chars)
+    # hidden state at time t holds columns [x_t, x_{t-1}, ..., x_{t-4}] =
+    # template columns [4, 3, 2, 1, 0]; build W so logit = -ALPHA * hamming
+    w_out = np.zeros((hidden, g_count + 1))
+    b_out = np.zeros(g_count + 1)
+    t3 = templates.reshape(g_count, CELL_H, CELL_W)
+    for gi in range(g_count):
+        for j in range(CELL_W):  # hidden block j = template column CELL_W-1-j
+            col = t3[gi, :, CELL_W - 1 - j].astype(np.float64)
+            sign = 2 * col - 1  # +1 for ink, -1 for background
+            w_out[j * CELL_H : (j + 1) * CELL_H, gi] = sign / ALPHA
+        b_out[gi] = -float(t3[gi].sum())  # subtract ink count -> -hamming
+    b_out[g_count] = -0.5  # blank: beats any >=1-bit mismatch, loses to exact
+    return lstm, w_out, b_out, chars
+
+
+def ctc_best_path(logits: np.ndarray, blank: int) -> list[int]:
+    """Greedy CTC decode: argmax per frame, collapse repeats, drop blanks."""
+    path = np.argmax(logits, axis=1)
+    out: list[int] = []
+    prev = -1
+    for p in path:
+        if p != prev and p != blank:
+            out.append(int(p))
+        prev = int(p)
+    return out
+
+
+def ctc_beam_search(log_probs: np.ndarray, blank: int, beam_width: int = 8) -> list[int]:
+    """Standard CTC prefix beam search over log-probabilities [T, C].
+
+    Tracks (p_blank, p_non_blank) per prefix; returns the best prefix.
+    """
+    from collections import defaultdict  # noqa: PLC0415
+
+    neg_inf = -np.inf
+
+    def logsumexp(*vals: float) -> float:
+        mx = max(vals)
+        if mx == neg_inf:
+            return neg_inf
+        return mx + np.log(sum(np.exp(v - mx) for v in vals))
+
+    beams: dict[tuple[int, ...], tuple[float, float]] = {(): (0.0, neg_inf)}
+    for t in range(log_probs.shape[0]):
+        nxt: dict[tuple[int, ...], tuple[float, float]] = defaultdict(lambda: (neg_inf, neg_inf))
+        frame = log_probs[t]
+        for prefix, (pb, pnb) in beams.items():
+            total = logsumexp(pb, pnb)
+            # extend with blank
+            nb_pb, nb_pnb = nxt[prefix]
+            nxt[prefix] = (logsumexp(nb_pb, total + frame[blank]), nb_pnb)
+            # repeat last symbol (stays same prefix, non-blank path)
+            if prefix:
+                last = prefix[-1]
+                nb_pb, nb_pnb = nxt[prefix]
+                nxt[prefix] = (nb_pb, logsumexp(nb_pnb, pnb + frame[last]))
+            # extend with a new symbol
+            for s in np.argsort(frame)[::-1][:beam_width]:
+                s = int(s)
+                if s == blank:
+                    continue
+                new_prefix = prefix + (s,)
+                base = pb if (prefix and s == prefix[-1]) else total
+                nb_pb, nb_pnb = nxt[new_prefix]
+                nxt[new_prefix] = (nb_pb, logsumexp(nb_pnb, base + frame[s]))
+        beams = dict(
+            sorted(nxt.items(), key=lambda kv: -logsumexp(*kv[1]))[:beam_width]
+        )
+    best = max(beams.items(), key=lambda kv: logsumexp(*kv[1]))
+    return list(best[0])
+
+
+def recognize_line_lstm(
+    mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8
+) -> list[str]:
+    """Recognize every word of a segmented line via the LSTM+CTC path.
+
+    Returns one string per word (same order as line.words).
+    """
+    lstm, w_out, b_out, chars = build_recognizer()
+    blank = len(chars)
+    h, w = mask.shape
+    r0 = line.baseline - BASELINE_ROW
+    r1 = r0 + CELL_H
+    sr0, sr1 = max(r0, 0), min(r1, h)
+    out: list[str] = []
+    for word in line.words:
+        width = word.right - word.left + 1
+        n = max(1, -(-width // ADV))
+        span = n * ADV - 1  # last glyph's spacer column not needed
+        band = np.zeros((CELL_H, span))
+        c0 = word.left
+        sc0, sc1 = max(c0, 0), min(c0 + span, w)
+        if sr0 < sr1 and sc0 < sc1:
+            band[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]
+        x = band.T  # [T, CELL_H] — one column per timestep
+        hidden = lstm.forward(x)
+        logits = hidden @ w_out + b_out
+        if decoder == "beam":
+            # convert scores to log-probs via softmax for the beam decoder
+            z = logits - logits.max(axis=1, keepdims=True)
+            log_probs = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+            seq = ctc_beam_search(log_probs, blank, beam_width)
+        else:
+            seq = ctc_best_path(logits, blank)
+        out.append("".join(chars[s] for s in seq))
+    return out
+
+
+def recognize_page_lstm(mask: np.ndarray, lines: list[Line], **kw) -> str:
+    """Full-page text via the LSTM+CTC path (getText contract: line texts end
+    with a newline)."""
+    parts = []
+    for line in lines:
+        words = recognize_line_lstm(mask, line, **kw)
+        parts.append(" ".join(words) + "\n")
+    return "".join(parts)

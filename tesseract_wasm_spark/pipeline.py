@@ -53,14 +53,47 @@ RESULT_DDL = (
 )
 
 
-def rebalance_pages(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Explicit skew handling (north rule): uniform-salt shuffle so heavy
-    pages spread evenly instead of clustering by source order. At 100 TB the
-    input is append-ordered by crawl, which clusters large pages; salting by
-    url hash makes partition cost ~uniform in expectation and AQE skew-join /
-    coalescing handles the residual tail."""
+def rebalance_pages(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    *,
+    strategy: str = "salt",
+) -> DataFrame:
+    """Explicit skew handling (north rule). Two strategies:
+
+    - ``salt`` (default): uniform-salt shuffle on xxhash64(url) — heavy pages
+      spread evenly in expectation instead of clustering by crawl append
+      order; AQE handles the residual tail. One cheap shuffle; the right
+      default at 100 TB.
+    - ``cost``: sorted round-robin bin packing — rank pages by descending
+      byte size and assign rank % P, so every partition receives a near-equal
+      *total* cost even under extreme heavy-tail skew (the biggest pages land
+      in distinct partitions by construction). Costs a global sort, so use it
+      when stragglers are observed in the metrics table rather than
+      unconditionally; at 10^12 rows the sort is a sampled range partition —
+      still one extra shuffle.
+    """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    if strategy == "cost":
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        rank = F.row_number().over(
+            Window.orderBy(F.desc(F.length("html")), F.asc("url"))
+        )
+        # bin layout: high digit = round-robin partition index (spreads the
+        # heaviest pages across partitions), low digit subdivides within it so
+        # the range sampler's boundary error moves only ~1/8 of a partition's
+        # cost. Hash partitioning on the bin would collide bins; range keeps
+        # consecutive bins together.
+        sub = 8
+        part_idx = (rank - 1) % num_partitions
+        sub_idx = F.floor((rank - 1) / num_partitions) % sub
+        return (
+            df.withColumn("_bin", (part_idx * sub + sub_idx).cast("int"))
+            .repartitionByRange(num_partitions, "_bin")
+            .drop("_bin")
+        )
     return df.repartition(num_partitions, F.xxhash64("url"))
 
 

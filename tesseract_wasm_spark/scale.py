@@ -21,6 +21,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tesseract_wasm_spark.pipeline import metrics_df, ocr_pages
 
 
+def write_table(df: DataFrame, path: str, *, fmt: str | None = None) -> None:
+    """Iceberg-compatible writer abstraction (SURVEY.md §7): appends go to an
+    Iceberg table when a catalog is configured (ACID appends — the real
+    100 TB deployment), else to plain parquet with the same layout. ``fmt``
+    overrides autodetection ("iceberg" | "parquet")."""
+    spark = df.sparkSession
+    if fmt is None:
+        has_iceberg = any(
+            "iceberg" in spark.conf.get(k, "").lower()
+            for k in ("spark.sql.catalog.spark_catalog", "spark.sql.extensions")
+        )
+        fmt = "iceberg" if has_iceberg else "parquet"
+    if fmt == "iceberg":
+        df.writeTo(path).append()
+    else:
+        df.write.mode("append").parquet(path)
+
+
 def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(results_path).select("url")
@@ -51,17 +69,8 @@ def run_with_resume(
         res.unpersist()
         return {"run_id": run_id, "pages": 0, "resumed": done is not None}
 
-    (
-        res.withColumn("run_id", F.lit(run_id))
-        .write.mode("append")
-        .parquet(results_path)
-    )
-    (
-        metrics_df(res)
-        .withColumn("run_id", F.lit(run_id))
-        .write.mode("append")
-        .parquet(metrics_path)
-    )
+    write_table(res.withColumn("run_id", F.lit(run_id)), results_path)
+    write_table(metrics_df(res).withColumn("run_id", F.lit(run_id)), metrics_path)
     errors = res.filter(F.col("error").isNotNull()).count()
     res.unpersist()
     return {"run_id": run_id, "pages": n, "errors": errors, "resumed": done is not None}

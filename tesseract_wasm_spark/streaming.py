@@ -58,3 +58,47 @@ def ocr_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_metrics_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Windowed ingest-rate metrics with late-data handling: pages per
+    (warc_ts window, lang), watermarked so stragglers up to ``watermark`` late
+    still count and state is bounded — the Structured Streaming shape for the
+    north rule's continuous metrics table (watermark + windowed aggregation;
+    the reference's progress stream P13 generalized to event time)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    pages = read_pages_stream(spark, input_path)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html")).alias("payload_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "pages",
+            "payload_bytes",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")  # append mode: windows emit once the watermark passes
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,79 @@
+"""P5 v2 tests: LSTM+CTC recognizer agrees with the primary template matcher
+(reference architecture: LSTM over line x-strips + CTC decode —
+src/lib.cpp:325-336; SURVEY.md §2.2 P5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tesseract_wasm_spark.engine.components import label_components
+from tesseract_wasm_spark.engine.lstm_ctc import (
+    build_recognizer,
+    ctc_beam_search,
+    ctc_best_path,
+    recognize_page_lstm,
+)
+from tesseract_wasm_spark.engine.otsu import binarize
+from tesseract_wasm_spark.engine.page import process_rgba
+from tesseract_wasm_spark.engine.segment import segment
+from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES, _seeded_lines, expected_text
+from tesseract_wasm_spark.raster import render_page
+
+
+def _lines_for(img):
+    mask = binarize(img)
+    return mask, segment(label_components(mask))
+
+
+def test_lstm_best_path_byte_identical():
+    img = render_page(SMALL_PAGE_LINES)
+    mask, lines = _lines_for(img)
+    assert recognize_page_lstm(mask, lines) == expected_text(SMALL_PAGE_LINES)
+
+
+def test_lstm_beam_search_matches_best_path():
+    img = render_page(SMALL_PAGE_LINES[:3])
+    mask, lines = _lines_for(img)
+    assert recognize_page_lstm(mask, lines, decoder="beam") == expected_text(
+        SMALL_PAGE_LINES[:3]
+    )
+
+
+def test_lstm_agrees_with_template_matcher_on_corpus():
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        lines_txt = _seeded_lines(rng, int(rng.integers(3, 9)))
+        img = render_page(lines_txt)
+        mask, lines = _lines_for(img)
+        via_lstm = recognize_page_lstm(mask, lines)
+        via_templates = process_rgba(img).page_text
+        assert via_lstm == via_templates == expected_text(lines_txt)
+
+
+def test_ctc_decoders_basic():
+    # logits: T=6 frames, 3 classes (0, 1, blank=2)
+    big, small = 10.0, -10.0
+    logits = np.full((6, 3), small)
+    for t, c in enumerate([0, 2, 0, 0, 2, 1]):
+        logits[t, c] = big
+    assert ctc_best_path(logits, blank=2) == [0, 0, 1]  # collapse repeats, drop blanks
+    z = logits - logits.max(axis=1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+    assert ctc_beam_search(logp, blank=2, beam_width=4) == [0, 0, 1]
+
+
+def test_constructed_logits_are_negative_hamming():
+    """logit(char) == -hamming(window, template) at aligned frames (×alpha)."""
+    lstm, w_out, b_out, chars = build_recognizer()
+    from tesseract_wasm_spark.font import CELL_H, CELL_W, glyph_table
+
+    cell = glyph_table()["A"].astype(float)
+    x = cell.T  # feed columns 0..4
+    h = lstm.forward(x)
+    logits = h[-1] @ w_out + b_out
+    ai = chars.index("A")
+    assert logits[ai] == pytest.approx(0.0, abs=1e-6)  # exact match
+    others = np.delete(logits[: len(chars)], ai)
+    assert others.max() < -0.9  # any other template >= 1 bit away
+    assert logits[len(chars)] == pytest.approx(-0.5)  # blank between the two

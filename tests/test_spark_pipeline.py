@@ -163,3 +163,28 @@ def test_extract_all_shares_one_result(results):
     assert surfaces["layout"].count() == surfaces["words"].filter(
         (F.col("text") != "") | (F.col("right") != 0)
     ).count()
+
+
+def test_cost_rebalance_beats_salt_on_skew(spark):
+    """Sorted round-robin packing bounds per-partition cost under heavy tail."""
+    import tesseract_wasm_spark.fixtures as fx
+    from tesseract_wasm_spark.pipeline import rebalance_pages
+
+    pages = fx.fixtures_df(spark, n_corpus_pages=200).select("url", "html")
+
+    def max_partition_cost(df):
+        sizes = (
+            df.withColumn("_c", F.length("html"))
+            .select(F.spark_partition_id().alias("p"), "_c")
+            .groupBy("p").agg(F.sum("_c").alias("cost"))
+            .collect()
+        )
+        costs = [r["cost"] for r in sizes]
+        return max(costs) / (sum(costs) / len(costs))
+
+    cost_ratio = max_partition_cost(rebalance_pages(pages, 8, strategy="cost"))
+    salt_ratio = max_partition_cost(rebalance_pages(pages, 8, strategy="salt"))
+    # deterministic comparison on the same skewed input: packing must beat
+    # uniform salting and keep the heaviest partition near the mean
+    assert cost_ratio <= salt_ratio
+    assert cost_ratio < 1.35

@@ -37,3 +37,27 @@ def test_stream_available_now_and_incremental(spark, tmp_path):
     res2 = spark.read.parquet(out_dir)
     assert res2.count() == pages.count()
     assert res2.select("url").distinct().count() == pages.count()
+
+
+def test_ingest_metrics_stream_watermark(spark, tmp_path):
+    from tesseract_wasm_spark.streaming import ingest_metrics_stream
+
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    pages = fixtures_df(spark, n_corpus_pages=6)
+    pages.write.mode("append").parquet(in_dir)
+    q = ingest_metrics_stream(spark, in_dir, out_dir, ckpt, window="10 minutes",
+                              watermark="5 minutes")
+    q.awaitTermination(120)
+    # append-mode windows behind the watermark flush on the availableNow drain;
+    # a second batch of later data closes earlier windows
+    pages2 = fixtures_df(spark, n_corpus_pages=6, seed=43)
+    pages2.write.mode("append").parquet(in_dir)
+    q2 = ingest_metrics_stream(spark, in_dir, out_dir, ckpt, window="10 minutes",
+                               watermark="5 minutes")
+    q2.awaitTermination(120)
+    m = spark.read.parquet(out_dir)
+    assert {"window_start", "window_end", "lang", "pages", "payload_bytes"} <= set(m.columns)
+    assert m.count() > 0
+    assert m.agg(F.sum("pages")).collect()[0][0] > 0
