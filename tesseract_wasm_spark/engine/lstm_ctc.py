@@ -197,7 +197,12 @@ def recognize_line_lstm(
         hidden = lstm.forward(x)
         logits = hidden @ w_out + b_out
         if decoder == "beam":
-            # convert scores to log-probs via softmax for the beam decoder
+            # convert scores to log-probs via softmax. The constructed logits
+            # are hamming distances (unit margins); sharpen them so the
+            # decoder's probabilities reflect the construction's certainty —
+            # otherwise the weakly-blank gap frames let a single-'p' prefix
+            # outscore 'pp' by summing over many alignments.
+            logits = logits * 20.0
             z = logits - logits.max(axis=1, keepdims=True)
             log_probs = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
             seq = ctc_beam_search(log_probs, blank, beam_width)
