@@ -470,6 +470,36 @@ def ocr_errors(spark, sf_dir):
     return errors_df(_fixture_results(spark))
 
 
+def ocr_text_lstm(spark, sf_dir):
+    """P5 v2 path: extraction via the LSTM+CTC recognizer (rows-only check;
+    pytest asserts it agrees with the template path byte-for-byte)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
+
+    pages = fixtures_df(spark, n_corpus_pages=4).filter(
+        ~F.col("url").contains("/rot-") & ~F.col("url").contains("bad-")
+        & ~F.col("url").contains("zero-") & ~F.col("url").contains("empty-")
+    )
+
+    def run(batches):
+        from tesseract_wasm_spark import drf  # noqa: PLC0415
+        from tesseract_wasm_spark.engine.components import label_components  # noqa: PLC0415
+        from tesseract_wasm_spark.engine.lstm_ctc import recognize_page_lstm  # noqa: PLC0415
+        from tesseract_wasm_spark.engine.otsu import binarize  # noqa: PLC0415
+        from tesseract_wasm_spark.engine.segment import segment  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                mask = binarize(drf.decode(bytes(payload)))
+                lines = segment(label_components(mask))
+                out.append({"url": url, "text_out": recognize_page_lstm(mask, lines)})
+            yield pd.DataFrame(out, columns=["url", "text_out"])
+
+    return pages.select("url", "html").mapInPandas(run, "url string, text_out string")
+
+
 def ocr_media_metadata(spark, sf_dir):
     from tesseract_wasm_spark.datapipe.multimodal import media_metadata  # noqa: PLC0415
     from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
@@ -512,6 +542,7 @@ REGISTRY: dict[str, tuple] = {
     "ocr_orientation": (ocr_orientation, None),
     "ocr_hocr": (ocr_hocr, None),
     "ocr_errors": (ocr_errors, None),
+    "ocr_text_lstm": (ocr_text_lstm, None),
     "ocr_media_metadata": (ocr_media_metadata, None),
 }
 
