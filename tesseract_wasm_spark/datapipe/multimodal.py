@@ -73,6 +73,27 @@ def decode_foreign_image(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_audio(payload: bytes) -> np.ndarray:
+    """STUB: audio decode (wav/mp3/flac) requires an audio library this
+    container does not ship; the Spark-side plumbing (binary column in,
+    feature rows out via mapInPandas) is the tested part."""
+    raise NotImplementedError(
+        "audio decode requires an audio library (soundfile/librosa); "
+        "plug the decoder into audio_features' inner loop"
+    )
+
+
+def frame_sample(payload: bytes, every_n: int = 30) -> list[np.ndarray]:
+    """STUB: video frame sampling requires a video decoder (pyav/ffmpeg).
+    The batching/partitioning shape is identical to thumbnails(): prune to
+    (key, payload), decode inside the Arrow batch, emit one row per sampled
+    frame with (url, frame_idx, thumb binary)."""
+    raise NotImplementedError(
+        "video decode requires pyav/ffmpeg; use frame_sample_df's plumbing "
+        "with a real decoder at deployment"
+    )
+
+
 THUMBNAIL_DDL = "url string, thumb binary, thumb_w int, thumb_h int"
 
 

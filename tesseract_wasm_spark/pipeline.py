@@ -103,6 +103,7 @@ def ocr_pages(
     with_text: bool = True,
     with_orientation: bool = True,
     rebalance: bool = True,
+    rebalance_strategy: str = "salt",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text?, lang?) -> one result row per url.
@@ -117,7 +118,7 @@ def ocr_pages(
     if "lang" not in pages.columns:
         src = src.withColumn("lang", F.lit("eng"))
     if rebalance:
-        src = rebalance_pages(src, num_partitions)
+        src = rebalance_pages(src, num_partitions, strategy=rebalance_strategy)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the worker: keeps the task closure tiny

@@ -175,7 +175,13 @@ def test_media_metadata_and_thumbnails(spark):
     # bad payloads skipped, good ones present
     assert len(th) == pages.count() - 2
 
-    from tesseract_wasm_spark.datapipe.multimodal import decode_foreign_image
+    from tesseract_wasm_spark.datapipe.multimodal import (
+        decode_audio,
+        decode_foreign_image,
+        frame_sample,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_foreign_image(b"\xff\xd8\xff...")
+    for stub, arg in ((decode_foreign_image, b"\xff\xd8\xff..."), (decode_audio, b"RIFF"),
+                      (frame_sample, b"\x00\x00\x00 ftyp")):
+        with pytest.raises(NotImplementedError):
+            stub(arg)
