@@ -115,6 +115,49 @@ def deterministic_centroids(embeddings: DataFrame, k: int) -> np.ndarray:
     return np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
 
 
+def srp_signatures(embeddings: DataFrame, *, n_bits: int = 16, seed: int = 9) -> DataFrame:
+    """Signed-random-projection LSH: sign(R @ v) packed into an int bucket.
+    Vectors with high cosine land in the same bucket with probability
+    (1 - theta/pi)^n_bits; one numpy matmul per Arrow batch."""
+    planes_by_dim: dict[int, np.ndarray] = {}  # deterministic per (seed, dim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dim = mat.shape[1]
+            if dim not in planes_by_dim:
+                planes_by_dim[dim] = np.random.default_rng(seed).normal(size=(dim, n_bits))
+            bits = (mat @ planes_by_dim[dim]) > 0
+            sig = (bits.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": sig})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, bucket long"
+    )
+
+
+def srp_near_pairs(embeddings: DataFrame, *, n_bits: int = 12, threshold: float = 0.25,
+                   seed: int = 9) -> DataFrame:
+    """LSH-bucketed near-pair search: candidates share an SRP bucket, then the
+    exact cosine verifies. The scale path when no IVF/label blocking exists:
+    quadratic only within buckets (expected bucket size = n / 2^n_bits)."""
+    sigs = srp_signatures(embeddings, n_bits=n_bits, seed=seed)
+    e = embeddings.join(sigs, "vec_id").select("vec_id", "embedding", "bucket")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], *, k: int = 5,
              n_cells: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF approximate top-k: search only the nprobe cells nearest each query.

@@ -37,6 +37,12 @@ from tesseract_wasm_spark.engine.segment import estimate_skew_degrees, segment
 START_OF_LINE = 1  # reference: src/lib.cpp:19-24 LayoutFlags
 END_OF_LINE = 2
 
+#: despeckle threshold: components smaller than this are scanner noise, not
+#: glyphs (every glyph has a full-height spine, area >= 5 — font.py); the
+#: reference's segmentation likewise removes specks/rules before line finding
+#: (Leptonica pipeline, patches/tesseract.diff:107-151 FindAndRemoveLines etc.)
+MIN_COMPONENT_AREA = 4
+
 
 @dataclass
 class WordBox:
@@ -78,6 +84,14 @@ def process_rgba(rgba: np.ndarray, *, with_text: bool = True, with_orientation: 
     res = PageResult(width=w, height=h)
     mask = binarize(rgba)
     comps = label_components(mask)
+    keep = comps.area >= MIN_COMPONENT_AREA
+    if not keep.all():
+        from tesseract_wasm_spark.engine.components import Components  # noqa: PLC0415
+
+        comps = Components(
+            comps.left[keep], comps.top[keep], comps.right[keep],
+            comps.bottom[keep], comps.area[keep],
+        )
     lines = segment(comps)
 
     # layout-only boxes (P4): available without recognition; empty page -> 0

@@ -212,6 +212,38 @@ FROM events
 """
 
 
+def q_sessionize(spark, sf_dir):
+    # custom stateful-operator twin: gap-based sessionization (batch form;
+    # the streaming form is streaming_state.sessionize_stream, tested equal)
+    from tesseract_wasm_spark.streaming_state import sessionize_batch  # noqa: PLC0415
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def sim_srp_pairs(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.similarity import srp_near_pairs  # noqa: PLC0415
+
+    return srp_near_pairs(_t(spark, sf_dir, "embeddings"), n_bits=10, threshold=0.2)
+
+
 # ---------------------------------------------------------------- datapipe
 
 
@@ -522,6 +554,7 @@ REGISTRY: dict[str, tuple] = {
     "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),
     "q_geometry": (q_geometry, SQL_GEOMETRY),
     "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
+    "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
     # training-data pipeline (oracle-checked where SQL-expressible)
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -530,6 +563,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding": (dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk": (ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (ann_ivf, None),
+    "sim_srp_pairs": (sim_srp_pairs, None),
     "text_langid": (text_langid, SQL_TEXT_LANGID),
     "text_tokens": (text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (text_quality, SQL_TEXT_QUALITY),

@@ -185,3 +185,24 @@ def test_media_metadata_and_thumbnails(spark):
                       (frame_sample, b"\x00\x00\x00 ftyp")):
         with pytest.raises(NotImplementedError):
             stub(arg)
+
+
+def test_srp_lsh_pairs(spark, embeddings):
+    from tesseract_wasm_spark.datapipe.similarity import srp_near_pairs, cosine_pairs_blocked
+
+    srp = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in srp_near_pairs(embeddings, n_bits=6, threshold=0.5).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_pairs_blocked(embeddings, threshold=0.5).collect()
+    }
+    assert len(srp) > 0
+    # LSH candidates that pass the cosine verify must carry the exact cosine
+    for pair, cos in srp.items():
+        if pair in exact:
+            assert cos == exact[pair]
+    # with clustered data and few bits, recall over same-label pairs is high
+    recall = len(set(srp) & set(exact)) / max(1, len(exact))
+    assert recall > 0.3

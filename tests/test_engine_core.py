@@ -132,3 +132,34 @@ def test_skew_estimate_near_zero():
     synthetic rasterizer produces skew-free pages; the estimate must agree."""
     res = process_page(render_page_drf(SMALL_PAGE_LINES))
     assert abs(res.skew_degrees) < 0.01
+
+
+def _noisy(level: float) -> np.ndarray:
+    rng = np.random.default_rng(4)
+    img = render_page(SMALL_PAGE_LINES[:3]).copy()
+    gray = img[..., 0].astype(np.int16)
+    noise_mask = rng.random(gray.shape) < level
+    gray[noise_mask] = 255 - gray[noise_mask]
+    img[..., 0] = img[..., 1] = img[..., 2] = gray.astype(np.uint8)
+    return img
+
+
+def test_degraded_input_graceful():
+    """Salt-and-pepper noise: despeckling keeps the line/word structure intact
+    (word count unchanged) and recognition degrades to best-template guesses
+    with confidence < 1 instead of failing (the reference's confidence
+    semantics — lower x_wconf on poor scans, src/lib.cpp:302-304)."""
+    want = {t for ln in SMALL_PAGE_LINES[:3] for t in ln.split()}
+    n_words = sum(len(ln.split()) for ln in SMALL_PAGE_LINES[:3])
+
+    light = process_rgba(_noisy(0.002))
+    assert len(light.words) == n_words
+    assert {w.text for w in light.words} == want  # fully recovered
+
+    heavy = process_rgba(_noisy(0.01))
+    assert heavy.error is None
+    assert len(heavy.words) == n_words  # structure survives despeckle
+    recovered = len({w.text for w in heavy.words} & want) / len(want)
+    assert recovered > 0.4
+    assert all(0.0 <= w.confidence <= 1.0 for w in heavy.words)
+    assert any(w.confidence < 1.0 for w in heavy.words)
