@@ -127,3 +127,23 @@ def test_hocr_snippets(loaded):
 
 def test_orientation_api(loaded):
     assert loaded.getOrientation() == {"rotation": 0, "confidence": 1.0}
+
+
+def test_bounding_boxes_line_unit(loaded):
+    lines = loaded.getBoundingBoxes("line")
+    assert len(lines) == len(SMALL_PAGE_LINES)
+    words = loaded.getBoundingBoxes("word")
+    assert len(words) == sum(len(ln.split()) for ln in SMALL_PAGE_LINES)
+    # line boxes are unions of their word boxes
+    for ln in lines:
+        assert ln["rect"]["left"] < ln["rect"]["right"]
+        assert ln["rect"]["top"] < ln["rect"]["bottom"]
+
+
+def test_boxes_after_ocr_come_from_recognition(loaded):
+    # reference: getBoundingBoxes after OCR returns OCR-quality boxes
+    # (src/ocr-engine.ts:236-239)
+    t_words = loaded.getTextBoxes("word")
+    l_words = loaded.getBoundingBoxes("word")
+    assert len(t_words) == len(l_words)
+    assert [w["rect"] for w in t_words] == [w["rect"] for w in l_words]

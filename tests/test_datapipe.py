@@ -206,3 +206,35 @@ def test_srp_lsh_pairs(spark, embeddings):
     # with clustered data and few bits, recall over same-label pairs is high
     recall = len(set(srp) & set(exact)) / max(1, len(exact))
     assert recall > 0.3
+
+
+def test_minhash_estimate_statistics(spark):
+    """MinHash estimator property: |est - exact| small on seeded random docs
+    (64 permutations -> s.e. ~= sqrt(j(1-j)/64) <= 0.0625)."""
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(200)]
+    base = list(rng.choice(vocab, size=80))
+    rows = []
+    for i in range(10):
+        doc = list(base)
+        for j in range(int(rng.integers(0, 30))):  # mutate a varying fraction
+            doc[int(rng.integers(0, len(doc)))] = vocab[int(rng.integers(0, len(vocab)))]
+        rows.append((i, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, num_perm=64)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_candidates(sigs, bands=16).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df.withColumn("source", F.lit("s")), threshold=0.0, block_col="source"
+        ).collect()
+    }
+    checked = 0
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+            checked += 1
+    assert checked > 0
