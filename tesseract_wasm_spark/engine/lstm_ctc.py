@@ -185,11 +185,12 @@ def recognize_line_lstm(
     sr0, sr1 = max(r0, 0), min(r1, h)
     out: list[str] = []
     for word in line.words:
-        width = word.right - word.left + 1
+        anchor = word.pen_left if word.pen_left >= 0 else word.left
+        width = word.right - anchor + 1
         n = max(1, -(-width // ADV))
         span = n * ADV - 1  # last glyph's spacer column not needed
         band = np.zeros((CELL_H, span))
-        c0 = word.left
+        c0 = anchor
         sc0, sc1 = max(c0, 0), min(c0 + span, w)
         if sr0 < sr1 and sc0 < sc1:
             band[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]

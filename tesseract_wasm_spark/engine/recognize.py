@@ -87,11 +87,12 @@ def _extract_cells(mask: np.ndarray, lines: list[Line]) -> tuple[np.ndarray, lis
         r1 = r0 + CELL_H
         sr0, sr1 = max(r0, 0), min(r1, h)
         for wi, word in enumerate(line.words):
-            width = word.right - word.left + 1
+            anchor = word.pen_left if word.pen_left >= 0 else word.left
+            width = word.right - anchor + 1
             n = max(1, -(-width // ADV))  # ceil
             span = n * ADV
             band = np.zeros((CELL_H, span), dtype=bool)
-            c0, c1 = word.left, word.left + span
+            c0, c1 = anchor, anchor + span
             sc0, sc1 = max(c0, 0), min(c1, w)
             if sr0 < sr1 and sc0 < sc1:
                 band[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]

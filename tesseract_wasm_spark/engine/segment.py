@@ -40,6 +40,11 @@ class Word:
     top: int
     right: int
     bottom: int
+    #: recognition anchor: ``left`` snapped to the line's dominant pen phase
+    #: (mod ADV). On clean renders equals ``left``; under specks that extend a
+    #: word's ink box, the phase consensus of the other words recovers the
+    #: true glyph grid. The bbox fields stay the observed ink bounds.
+    pen_left: int = -1
 
 
 @dataclass
@@ -64,9 +69,17 @@ def estimate_baseline(bottoms: np.ndarray) -> int:
     baseline; descenders exactly DESC_ROWS below it. If both populations are
     present the smaller value is the baseline; otherwise the mode wins."""
     vals, counts = np.unique(bottoms, return_counts=True)
-    for v in vals:
-        if v + DESC_ROWS in vals:
-            return int(v)
+    best_v, best_support = None, -1
+    lookup = dict(zip(vals.tolist(), counts.tolist()))
+    for v, c in lookup.items():
+        partner = lookup.get(v + DESC_ROWS)
+        if partner is not None and 2 * c + partner > best_support:
+            # baseline-row bottoms weighted double: non-descender glyphs always
+            # dominate a real text line, so a speck pairing with the true
+            # baseline row can't outvote the true (baseline, descender) pair
+            best_v, best_support = v, 2 * c + partner
+    if best_v is not None:
+        return int(best_v)
     return int(vals[np.argmax(counts)])
 
 
@@ -150,15 +163,22 @@ def segment(comps: Components) -> list[Line]:
     np.maximum.at(lb, li2, cbots)
 
     # vectorized baseline per line (same rule as estimate_baseline): histogram
-    # of bottoms relative to line top; smallest value whose +DESC_ROWS twin
-    # exists wins, else the mode (first max = smallest among ties).
+    # of bottoms relative to line top; among values whose +DESC_ROWS twin also
+    # occurs, the best-supported pair wins (count + twin count — a lone noise
+    # blob can't hijack the baseline); else the mode.
     bins = 64
     rel = np.minimum(cbots - lt[li2], bins - 1 - DESC_ROWS)
     counts = np.bincount(li2 * bins + rel, minlength=n_lines * bins).reshape(n_lines, bins)
     exists = counts > 0
-    both = exists[:, : bins - DESC_ROWS] & exists[:, DESC_ROWS:]
-    has_pair = both.any(axis=1)
-    baseline_rel = np.where(has_pair, np.argmax(both, axis=1), np.argmax(counts, axis=1))
+    pair_support = np.where(
+        exists[:, : bins - DESC_ROWS] & exists[:, DESC_ROWS:],
+        2 * counts[:, : bins - DESC_ROWS] + counts[:, DESC_ROWS:],
+        0,
+    )
+    has_pair = pair_support.any(axis=1)
+    baseline_rel = np.where(
+        has_pair, np.argmax(pair_support, axis=1), np.argmax(counts, axis=1)
+    )
     baselines = lt + baseline_rel
 
     lines = [
@@ -169,5 +189,15 @@ def segment(comps: Components) -> list[Line]:
         lines[word_line[wi]].words.append(
             Word(left=int(wl[wi]), top=int(wt[wi]), right=int(wr[wi]), bottom=int(wb[wi]))
         )
+    # pen-phase consensus per line: word starts are congruent mod ADV on a
+    # rendered page; snap each word's recognition anchor to the line's mode
+    # phase so a single speck can't shift a word's whole glyph grid
+    for line in lines:
+        phases = np.array([w.left % ADV for w in line.words])
+        vals, counts = np.unique(phases, return_counts=True)
+        phase = int(vals[np.argmax(counts)])
+        for w in line.words:
+            delta = (w.left - phase + ADV // 2) % ADV - ADV // 2
+            w.pen_left = w.left - delta
     # reading order: lines top-to-bottom, words left-to-right (by construction)
     return lines

@@ -156,10 +156,15 @@ def test_degraded_input_graceful():
     assert len(light.words) == n_words
     assert {w.text for w in light.words} == want  # fully recovered
 
-    heavy = process_rgba(_noisy(0.01))
+    heavy = process_rgba(_noisy(0.02))  # 2% of pixels flipped
     assert heavy.error is None
     assert len(heavy.words) == n_words  # structure survives despeckle
     recovered = len({w.text for w in heavy.words} & want) / len(want)
-    assert recovered > 0.4
+    assert recovered == 1.0  # despeckle + pair-vote baseline + pen phase
     assert all(0.0 <= w.confidence <= 1.0 for w in heavy.words)
     assert any(w.confidence < 1.0 for w in heavy.words)
+
+    extreme = process_rgba(_noisy(0.04))
+    assert extreme.error is None  # graceful degradation, never a crash
+    recovered = len({w.text for w in extreme.words} & want) / len(want)
+    assert recovered > 0.3
