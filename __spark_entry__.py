@@ -10,14 +10,43 @@ per-entry reference citations).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)  # driver-side imports regardless of caller cwd
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable inside executor Python workers even when
+    the driver's cwd is not the repo root: ship tesseract_wasm_spark as a
+    zip via addPyFile (idempotent; same mechanism as --py-files)."""
+    try:
+        import zipfile  # noqa: PLC0415
+
+        zip_path = "/tmp/twspark_pyfiles.zip"
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+                pkg = os.path.join(_REPO, "tesseract_wasm_spark")
+                for root, _dirs, files in os.walk(pkg):
+                    for name in sorted(files):
+                        if name.endswith(".py"):
+                            full = os.path.join(root, name)
+                            zf.write(full, os.path.relpath(full, _REPO))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added, or a restricted context — imports may still
+        # resolve via PYTHONPATH/cwd
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> ocr_pages -> per-url text, verified byte-identical
     against the corpus ground truth (the north-rule invariant)."""
+    _ensure_shipped(spark)
     from tesseract_wasm_spark.fixtures import fixtures_df
     from tesseract_wasm_spark.outputs import page_text_df
     from tesseract_wasm_spark.pipeline import ocr_pages
@@ -41,7 +70,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_wasm_spark.queries import queries as _q
 
-    return _q()
+    def _wrap(fn):
+        def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return call
+
+    return {name: _wrap(fn) for name, fn in _q().items()}
 
 
 def oracle_sql() -> dict[str, str]:
