@@ -83,24 +83,34 @@ def _extract_cells(mask: np.ndarray, lines: list[Line]) -> tuple[np.ndarray, lis
     blocks: list[np.ndarray] = []
     index: list[tuple[int, int, int]] = []
     for li, line in enumerate(lines):
+        if not line.words:
+            continue
         r0 = line.baseline - BASELINE_ROW
         r1 = r0 + CELL_H
         sr0, sr1 = max(r0, 0), min(r1, h)
-        for wi, word in enumerate(line.words):
-            anchor = word.pen_left if word.pen_left >= 0 else word.left
-            width = word.right - anchor + 1
-            n = max(1, -(-width // ADV))  # ceil
-            span = n * ADV
-            band = np.zeros((CELL_H, span), dtype=bool)
-            c0, c1 = anchor, anchor + span
-            sc0, sc1 = max(c0, 0), min(c1, w)
-            if sr0 < sr1 and sc0 < sc1:
-                band[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]
-            # row-major reshape splits each row into n chunks of ADV columns;
-            # dropping the spacer column yields the n glyph cells in order
-            cells = band.reshape(CELL_H, n, ADV)[:, :, :CELL_W]
-            blocks.append(cells.transpose(1, 0, 2).reshape(n, CELL_H * CELL_W))
-            index.append((li, wi, n))
+        anchors = np.fromiter(
+            ((wd.pen_left if wd.pen_left >= 0 else wd.left) for wd in line.words),
+            dtype=np.int64, count=len(line.words),
+        )
+        rights = np.fromiter((wd.right for wd in line.words), dtype=np.int64,
+                             count=len(line.words))
+        ns = np.maximum(1, -(-(rights - anchors + 1) // ADV))  # cells per word
+        spans = ns * ADV
+        # one gather per line: column index of every cell-column of every word
+        offsets = np.repeat(np.cumsum(spans) - spans, spans)
+        cols = np.arange(spans.sum()) - offsets + np.repeat(anchors, spans)
+        valid = (cols >= 0) & (cols < w)
+        cols_c = np.clip(cols, 0, w - 1)
+        full = np.zeros((CELL_H, cols.size), dtype=bool)
+        if sr0 < sr1:
+            full[sr0 - r0 : sr1 - r0, :] = mask[sr0:sr1][:, cols_c]
+        full[:, ~valid] = False
+        total = int(ns.sum())
+        # row-major reshape splits the gathered band into ADV-wide chunks;
+        # dropping the spacer column yields the glyph cells in word order
+        cells = full.reshape(CELL_H, total, ADV)[:, :, :CELL_W]
+        blocks.append(cells.transpose(1, 0, 2).reshape(total, CELL_H * CELL_W))
+        index.extend((li, wi, int(n)) for wi, n in enumerate(ns))
     if not index:
         return np.zeros((0, CELL_H * CELL_W), dtype=bool), index
     return np.concatenate(blocks), index

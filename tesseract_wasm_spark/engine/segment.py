@@ -193,9 +193,8 @@ def segment(comps: Components) -> list[Line]:
     # rendered page; snap each word's recognition anchor to the line's mode
     # phase so a single speck can't shift a word's whole glyph grid
     for line in lines:
-        phases = np.array([w.left % ADV for w in line.words])
-        vals, counts = np.unique(phases, return_counts=True)
-        phase = int(vals[np.argmax(counts)])
+        phase_counts = np.bincount([w.left % ADV for w in line.words], minlength=ADV)
+        phase = int(np.argmax(phase_counts))
         for w in line.words:
             delta = (w.left - phase + ADV // 2) % ADV - ADV // 2
             w.pen_left = w.left - delta
