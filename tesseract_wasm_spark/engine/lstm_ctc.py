@@ -177,13 +177,23 @@ def recognize_line_lstm(
 
     Returns one string per word (same order as line.words).
     """
+    return [t for t, _ in recognize_line_lstm_scored(mask, line, decoder=decoder,
+                                                     beam_width=beam_width)]
+
+
+def recognize_line_lstm_scored(
+    mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8
+) -> list[tuple[str, float]]:
+    """Per word: (text, confidence). Confidence = mean softmax probability of
+    the emitted (non-blank) frames — the CTC analog of the reference's
+    per-word percentage confidence (src/lib.cpp:302-304)."""
     lstm, w_out, b_out, chars = build_recognizer()
     blank = len(chars)
     h, w = mask.shape
     r0 = line.baseline - BASELINE_ROW
     r1 = r0 + CELL_H
     sr0, sr1 = max(r0, 0), min(r1, h)
-    out: list[str] = []
+    out: list[tuple[str, float]] = []
     for word in line.words:
         anchor = word.pen_left if word.pen_left >= 0 else word.left
         width = word.right - anchor + 1
@@ -197,19 +207,25 @@ def recognize_line_lstm(
         x = band.T  # [T, CELL_H] — one column per timestep
         hidden = lstm.forward(x)
         logits = hidden @ w_out + b_out
+        # softmax log-probs. The constructed logits are hamming distances
+        # (unit margins); sharpen them so the decoder's probabilities reflect
+        # the construction's certainty — otherwise the weakly-blank gap frames
+        # let a single-'p' prefix outscore 'pp' by summing over alignments.
+        sharp = logits * 20.0
+        z = sharp - sharp.max(axis=1, keepdims=True)
+        log_probs = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
         if decoder == "beam":
-            # convert scores to log-probs via softmax. The constructed logits
-            # are hamming distances (unit margins); sharpen them so the
-            # decoder's probabilities reflect the construction's certainty —
-            # otherwise the weakly-blank gap frames let a single-'p' prefix
-            # outscore 'pp' by summing over many alignments.
-            logits = logits * 20.0
-            z = logits - logits.max(axis=1, keepdims=True)
-            log_probs = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
             seq = ctc_beam_search(log_probs, blank, beam_width)
         else:
             seq = ctc_best_path(logits, blank)
-        out.append("".join(chars[s] for s in seq))
+        # confidence: mean prob of emitted frames along the greedy path
+        path = np.argmax(logits, axis=1)
+        emit = path != blank
+        if emit.any():
+            conf = float(np.exp(log_probs[np.arange(len(path)), path][emit]).mean())
+        else:
+            conf = 0.0
+        out.append(("".join(chars[s] for s in seq), conf))
     return out
 
 

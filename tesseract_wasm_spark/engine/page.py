@@ -71,15 +71,23 @@ class PageResult:
     page_text: str = ""
 
 
-def process_page(payload: bytes, *, with_text: bool = True, with_orientation: bool = True) -> PageResult:
+def process_page(payload: bytes, *, with_text: bool = True, with_orientation: bool = True,
+                 recognizer: str = "template") -> PageResult:
     try:
         rgba = drf.decode(payload)
     except ValueError as exc:
         return PageResult(error=str(exc))
-    return process_rgba(rgba, with_text=with_text, with_orientation=with_orientation)
+    return process_rgba(rgba, with_text=with_text, with_orientation=with_orientation,
+                        recognizer=recognizer)
 
 
-def process_rgba(rgba: np.ndarray, *, with_text: bool = True, with_orientation: bool = True) -> PageResult:
+def process_rgba(
+    rgba: np.ndarray,
+    *,
+    with_text: bool = True,
+    with_orientation: bool = True,
+    recognizer: str = "template",
+) -> PageResult:
     h, w = rgba.shape[:2]
     res = PageResult(width=w, height=h)
     mask = binarize(rgba)
@@ -113,7 +121,13 @@ def process_rgba(rgba: np.ndarray, *, with_text: bool = True, with_orientation: 
         res.page_text = ""
         return res
 
-    recognized = recognize_words(mask, lines)
+    if recognizer == "lstm":
+        # P5 v2 path: LSTM+CTC per line (same downstream WordBox emission)
+        from tesseract_wasm_spark.engine.lstm_ctc import recognize_line_lstm_scored  # noqa: PLC0415
+
+        recognized = [recognize_line_lstm_scored(mask, line) for line in lines]
+    else:
+        recognized = recognize_words(mask, lines)
     wid = 0
     text_lines: list[str] = []
     for li, line in enumerate(lines):

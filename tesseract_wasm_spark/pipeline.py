@@ -102,6 +102,7 @@ def ocr_pages(
     *,
     with_text: bool = True,
     with_orientation: bool = True,
+    recognizer: str = "template",
     rebalance: bool = True,
     rebalance_strategy: str = "salt",
     num_partitions: int | None = None,
@@ -133,7 +134,8 @@ def ocr_pages(
             out = []
             for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 res = process_page(
-                    bytes(payload), with_text=with_text, with_orientation=with_orientation
+                    bytes(payload), with_text=with_text,
+                    with_orientation=with_orientation, recognizer=recognizer,
                 )
                 # layout_boxes duplicate the words' rects on a full OCR run
                 # (the reference returns OCR boxes from getBoundingBoxes once

@@ -77,3 +77,21 @@ def test_constructed_logits_are_negative_hamming():
     others = np.delete(logits[: len(chars)], ai)
     assert others.max() < -0.9  # any other template >= 1 bit away
     assert logits[len(chars)] == pytest.approx(-0.5)  # blank between the two
+
+
+def test_lstm_full_pageresult_parity():
+    """recognizer='lstm' produces the SAME words/boxes/flags as the template
+    path on clean pages, with CTC-derived confidences in (0, 1]."""
+    from tesseract_wasm_spark.raster import render_page_drf
+    from tesseract_wasm_spark.engine.page import process_page
+
+    payload = render_page_drf(SMALL_PAGE_LINES[:4])
+    a = process_page(payload)  # template recognizer
+    b = process_page(payload, recognizer="lstm")
+    assert b.page_text == a.page_text
+    assert len(b.words) == len(a.words)
+    for wa, wb in zip(a.words, b.words):
+        assert (wa.left, wa.top, wa.right, wa.bottom, wa.flags, wa.text) == (
+            wb.left, wb.top, wb.right, wb.bottom, wb.flags, wb.text,
+        )
+        assert 0.0 < wb.confidence <= 1.0
