@@ -253,15 +253,23 @@ def _render_hocr_local(res: PageResult) -> str:
         ws = sorted(lines[li], key=lambda w: w.word_id)
         l, t = min(w.left for w in ws), min(w.top for w in ws)
         r, b = max(w.right for w in ws), max(w.bottom for w in ws)
+        baseline = ws[0].baseline
         spans = "\n".join(
             "      <span class='ocrx_word' id='word_1_%d' title='bbox %d %d %d %d; x_wconf %d'>%s</span>"
             % (w.word_id + 1, w.left, w.top, w.right + 1, w.bottom + 1, round(w.confidence * 100), _esc(w.text))
             for w in ws
         )
         blocks.append(
-            "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; baseline 0 0; "
+            "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; baseline 0 %d; "
             "x_size %d; x_descenders %d; x_ascenders %d\">\n%s\n     </span>"
-            % (li + 1, l, t, r + 1, b + 1, CELL_H, DESC_BOTTOM - BASELINE_ROW, XHEIGHT_TOP, spans)
+            % (
+                li + 1, l, t, r + 1, b + 1,
+                baseline - b,  # offset from bbox bottom (<= 0)
+                b - t + 1,
+                b - baseline,
+                max(0, (baseline - t) - (BASELINE_ROW - XHEIGHT_TOP)),
+                spans,
+            )
         )
     all_w = [w for ws in lines.values() for w in ws]
     l, t = min(w.left for w in all_w), min(w.top for w in all_w)

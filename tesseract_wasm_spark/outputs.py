@@ -128,8 +128,9 @@ def page_text_from_lines(lines: DataFrame) -> DataFrame:
 
 
 def orientation_df(results: DataFrame) -> DataFrame:
+    """Per-url orientation (P10) + deskew estimate (P3)."""
     return results.filter(F.col("error").isNull()).select(
-        "url", "rotation", F.col("orient_confidence").alias("confidence")
+        "url", "rotation", F.col("orient_confidence").alias("confidence"), "skew_degrees"
     )
 
 
@@ -187,17 +188,25 @@ def hocr_df(results: DataFrame) -> DataFrame:
             ).alias("word_spans")
         )
     )
+    # per-line typography attrs from real geometry (reference emits the same
+    # attrs from Tesseract's line fit — golden snippet test/ocr-engine-test.js:
+    # 296-307): baseline = (slope, offset from bbox bottom), x_size = line
+    # height, x_descenders/x_ascenders relative to baseline/x-height
     line_open = F.format_string(
         "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; "
-        "baseline 0 0; x_size %d; x_descenders %d; x_ascenders %d\">",
+        "baseline 0 %d; x_size %d; x_descenders %d; x_ascenders %d\">",
         F.col("line_id") + 1,
         "left",
         "top",
         F.col("right") + 1,
         F.col("bottom") + 1,
-        F.lit(CELL_H),
-        F.lit(DESC_BOTTOM - BASELINE_ROW),
-        F.lit(XHEIGHT_TOP),
+        F.col("baseline") - F.col("bottom"),  # <= 0, offset from bbox bottom
+        F.col("bottom") - F.col("top") + 1,
+        F.col("bottom") - F.col("baseline"),
+        F.greatest(
+            F.lit(0),
+            (F.col("baseline") - F.col("top")) - F.lit(BASELINE_ROW - XHEIGHT_TOP),
+        ),
     )
     line_block = F.concat_ws("\n", line_open, F.col("word_spans"), F.lit("     </span>"))
     per_line = (
