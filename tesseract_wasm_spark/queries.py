@@ -212,6 +212,85 @@ FROM events
 """
 
 
+def q_join_agg(spark, sf_dir):
+    # beyond the reference's surface (it has no joins — SURVEY §2.3 note):
+    # the engine's relational shell supports them; dimension side broadcasts
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(_dec_sum(F.col("l_extendedprice")), 6).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_AGG = (
+    "SELECT o_orderstatus, count(*) AS n_items, "
+    "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"
+)
+
+
+def q_window_running(spark, sf_dir):
+    # window frame: running value sum per user ordered by event time
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double"), 6)
+    return ev.select("event_id", "user_id", running.alias("running_value"))
+
+
+SQL_WINDOW_RUNNING = (
+    "SELECT event_id, user_id, "
+    "round(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER ("
+    "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value "
+    "FROM events"
+)
+
+
+def q_set_ops(spark, sf_dir):
+    # set operation: users with a high-value click but no high-value purchase
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("value") > 100)).select("user_id").distinct()
+    purch = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select("user_id").distinct()
+    return clicks.exceptAll(purch)
+
+
+SQL_SET_OPS = (
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 100 "
+    "EXCEPT "
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 100"
+)
+
+
+def text_vocab(spark, sf_dir):
+    # vocabulary building: token -> collection frequency + document frequency
+    # (the groupBy-token stage of every tokenizer-training pipeline)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+SQL_TEXT_VOCAB = r"""
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
 def q_sessionize(spark, sf_dir):
     # custom stateful-operator twin: gap-based sessionization (batch form;
     # the streaming form is streaming_state.sessionize_stream, tested equal)
@@ -555,6 +634,10 @@ REGISTRY: dict[str, tuple] = {
     "q_geometry": (q_geometry, SQL_GEOMETRY),
     "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
+    "q_window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "q_set_ops": (q_set_ops, SQL_SET_OPS),
+    "text_vocab": (text_vocab, SQL_TEXT_VOCAB),
     # training-data pipeline (oracle-checked where SQL-expressible)
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
