@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-MERSENNE = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1  # 31-bit Mersenne prime: (a*x+b) fits uint64
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -84,12 +84,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.5,
 
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, MERSENNE31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE31, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct word-n-gram hashes, reduced mod the 31-bit prime so the
+    universal-hash product a*x stays inside uint64."""
     toks = text.lower().split()
     if len(toks) < n:
         grams = [" ".join(toks)]
@@ -97,32 +99,34 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
         grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
     import hashlib  # noqa: PLC0415
 
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-         for g in grams],
-        dtype=np.uint64,
+    h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+         for g in grams),
+        dtype=np.uint64, count=len(grams),
     )
+    return h % np.uint64(MERSENNE31)
 
 
 def minhash_signatures(docs: DataFrame, *, num_perm: int = 64, ngram: int = 3,
                        seed: int = 1) -> DataFrame:
     """doc_id -> minhash signature (array<long>), one vectorized pandas pass.
-    The permutation min-reduce is a [num_shingles, num_perm] numpy broadcast
-    per document — all arithmetic in C."""
+    The permutation min-reduce is a [num_shingles, num_perm] uint64 broadcast
+    per document — all arithmetic in C (31-bit values, no overflow)."""
     a_params, b_params = _minhash_params(num_perm, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a = a_params.astype(object)  # python ints avoid uint64 mod overflow
-        b = b_params.astype(object)
+        a = a_params[None, :]
+        b = b_params[None, :]
+        p = np.uint64(MERSENNE31)
         for pdf in batches:
             sigs = []
             for text in pdf["text"]:
-                h = _shingle_hashes(text or "", ngram).astype(object)
+                h = _shingle_hashes(text or "", ngram)
                 if h.size == 0:
-                    sigs.append([0] * num_perm)
+                    sigs.append([0] * len(a_params))
                     continue
-                vals = (np.outer(h, a) + b) % MERSENNE  # [S, P]
-                sigs.append([int(v) for v in vals.min(axis=0)])
+                vals = (h[:, None] * a + b) % p  # [S, P] uint64
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
     return docs.select("doc_id", "text").mapInPandas(
