@@ -83,6 +83,68 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+ROLL_BASE = 257
+ROLL_PRIME = (1 << 31) - 1
+
+
+def rolling_fingerprints(docs: DataFrame, *, window: int | None = None) -> DataFrame:
+    """Rabin-Karp polynomial rolling-hash fingerprints over normalized text.
+
+    Vectorized per Arrow batch: the hash h = sum(c_i * B^(n-1-i)) mod p is one
+    uint64 dot product against precomputed powers (31-bit prime keeps products
+    in range). With ``window`` set, emits the minimum window-hash (winnowing
+    style, one representative per document) — the content-defined fingerprint
+    used for shift-robust near-dup blocking at scale; without it, the whole
+    document's hash (equivalent to exact dedup, but O(1) to combine
+    incrementally as documents append)."""
+    import numpy as np  # noqa: PLC0415
+    from collections.abc import Iterator  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    p = np.uint64(ROLL_PRIME)
+    b = np.uint64(ROLL_BASE)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pow_cache = np.ones(1, dtype=np.uint64)
+
+        def powers(n: int) -> np.ndarray:
+            nonlocal pow_cache
+            while len(pow_cache) < n:
+                nxt = (pow_cache[-1] * b) % p
+                pow_cache = np.concatenate([pow_cache, [nxt]])
+            return pow_cache[:n]
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = re.sub(r"\s+", " ", (text or "").lower()).encode()
+                c = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
+                n = len(c)
+                if n == 0:
+                    out.append({"doc_id": doc_id, "rolling_fp": 0})
+                    continue
+                if window is None or n <= window:
+                    pw = powers(n)[::-1]
+                    h = int((c * pw % p).sum() % p)
+                else:
+                    # rolling update: h_{i+1} = (h_i - c_i*B^{w-1})*B + c_{i+w}
+                    pw = powers(window)[::-1]
+                    h0 = (c[:window] * pw % p).sum() % p
+                    top = np.uint64(int(pow_cache[window - 1]))
+                    hs = np.empty(n - window + 1, dtype=np.uint64)
+                    hs[0] = h0
+                    hcur = np.uint64(h0)
+                    for i in range(n - window):
+                        hcur = ((hcur + p * b - c[i] * top % p) % p * b + c[i + window]) % p
+                        hs[i + 1] = hcur
+                    h = int(hs.min())
+                out.append({"doc_id": doc_id, "rolling_fp": h})
+            yield pd.DataFrame(out, columns=["doc_id", "rolling_fp"])
+
+    return docs.select("doc_id", "text").mapInPandas(run, "doc_id long, rolling_fp long")
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (the exact-dedup key; a content-defined rolling-hash variant lives in

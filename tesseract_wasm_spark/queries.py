@@ -581,6 +581,12 @@ def ocr_errors(spark, sf_dir):
     return errors_df(_fixture_results(spark))
 
 
+def text_rolling_fp(spark, sf_dir):
+    from tesseract_wasm_spark.datapipe.textstats import rolling_fingerprints  # noqa: PLC0415
+
+    return rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def ocr_text_lstm(spark, sf_dir):
     """P5 v2 path: extraction via the LSTM+CTC recognizer (rows-only check;
     pytest asserts it agrees with the template path byte-for-byte)."""
@@ -651,6 +657,7 @@ REGISTRY: dict[str, tuple] = {
     "text_tokens": (text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_rolling_fp": (text_rolling_fp, None),
     # OCR engine surface (rows-only; byte-identity in pytest goldens)
     "ocr_text": (ocr_text, None),
     "ocr_words": (ocr_words, None),

@@ -238,3 +238,34 @@ def test_minhash_estimate_statistics(spark):
             assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
             checked += 1
     assert checked > 0
+
+
+def test_rolling_fingerprint(spark):
+    from tesseract_wasm_spark.datapipe.textstats import (
+        ROLL_BASE, ROLL_PRIME, rolling_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd"), (4, "ABC  "), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprints(df).collect()}
+    # reference value computed directly: polynomial hash of normalized text
+    def ref(s):
+        h = 0
+        for ch in s.encode():
+            h = (h * ROLL_BASE + ch) % ROLL_PRIME
+        return h
+    assert got[1] == ref("abc") and got[2] == got[1]
+    assert got[3] != got[1]
+    assert got[4] == ref("abc ")  # lowercased, whitespace collapsed
+    assert got[5] == 0
+    # windowed (winnowing) mode: shift-invariant representative
+    long = spark.createDataFrame(
+        [(10, "prefix AAAA common-core-text BBBB"),
+         (11, "totally different head AAAA common-core-text tail")],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["rolling_fp"] for r in
+         rolling_fingerprints(long, window=8).collect()}
+    assert isinstance(w[10], int) and isinstance(w[11], int)
