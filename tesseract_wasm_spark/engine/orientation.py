@@ -73,14 +73,35 @@ def updown_score(mask: np.ndarray, lines: list[Line] | None = None) -> float:
     return float(SCALE * (asc - desc) / np.sqrt(asc + desc + 1.0))
 
 
+#: orientation detection samples a center band of at most this many rows per
+#: axis — a dozen text lines carry all the ascender/descender signal needed,
+#: so detection cost is constant in page size (the reference's pixOrientDetect
+#: similarly subsamples via its mincount threshold)
+MAX_BAND = 256
+_CROP_TRIGGER = 320
+
+
+def _center_rows(mask: np.ndarray) -> np.ndarray:
+    h = mask.shape[0]
+    if h <= _CROP_TRIGGER:
+        return mask
+    mid = h // 2
+    return mask[mid - MAX_BAND // 2 : mid + MAX_BAND // 2, :]
+
+
 def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None) -> tuple[int, float]:
     """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0}).
 
     ``lines``: the page's already-computed upright segmentation (reused for
-    up_conf — the reference similarly runs OSD on the already-thresholded
-    image, src/lib.cpp:250-261); the 90° axis is segmented on demand."""
-    up_conf = updown_score(mask, lines)
-    left_conf = updown_score(np.rot90(mask, k=1))  # CCW: upright iff page is 90° CW
+    up_conf when the page is small enough to score whole — the reference
+    similarly runs OSD on the already-thresholded image, src/lib.cpp:250-261);
+    each axis scores a center band so cost is bounded for large pages."""
+    if mask.shape[0] <= _CROP_TRIGGER:
+        up_conf = updown_score(mask, lines)
+    else:
+        up_conf = updown_score(_center_rows(mask))
+    # CCW rotation makes a 90°-CW page upright; crop its rows = page columns
+    left_conf = updown_score(_center_rows(np.rot90(mask, k=1)))
     if max(abs(up_conf), abs(left_conf)) < 1.0:
         return 0, 0.0  # detection failed (reference: src/lib.cpp:264-268)
     if abs(up_conf) - abs(left_conf) > DECISION_MARGIN:

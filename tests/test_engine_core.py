@@ -168,3 +168,13 @@ def test_degraded_input_graceful():
     assert extreme.error is None  # graceful degradation, never a crash
     recovered = len({w.text for w in extreme.words} & want) / len(want)
     assert recovered > 0.3
+
+
+@pytest.mark.parametrize("rot", [0, 90, 180, 270])
+def test_orientation_metamorphic_large_page(rot):
+    """Large pages take the bounded center-band path (orientation cost is
+    constant in page size); detection must still be exact."""
+    lines = SMALL_PAGE_LINES * 6  # 60 lines -> height > crop trigger
+    res = process_rgba(render_page(lines, rot=rot), with_text=False)
+    assert res.rotation == rot
+    assert res.orient_confidence == 1.0
