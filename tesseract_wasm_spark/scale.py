@@ -39,11 +39,16 @@ def write_table(df: DataFrame, path: str, *, fmt: str | None = None) -> None:
         df.write.mode("append").parquet(path)
 
 
-def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
+def completed_urls(spark: SparkSession, results_path: str, mode: str = "full") -> DataFrame | None:
+    """Urls already extracted *in the same mode* — a layout-only run must not
+    mark urls complete for full extraction (and vice versa)."""
     try:
-        return spark.read.parquet(results_path).select("url")
+        df = spark.read.parquet(results_path)
     except Exception:
         return None  # first run: nothing written yet
+    if "mode" in df.columns:
+        df = df.filter(F.col("mode") == mode)
+    return df.select("url")
 
 
 def run_with_resume(
@@ -59,8 +64,9 @@ def run_with_resume(
     results_path = f"{out_dir}/results"
     metrics_path = f"{out_dir}/metrics"
     run_id = uuid.uuid4().hex
+    mode = "full" if with_text else "layout"
 
-    done = completed_urls(spark, results_path)
+    done = completed_urls(spark, results_path, mode)
     todo = pages if done is None else pages.join(done, "url", "left_anti")
 
     res = ocr_pages(todo, with_text=with_text, num_partitions=num_partitions).persist()
@@ -69,7 +75,10 @@ def run_with_resume(
         res.unpersist()
         return {"run_id": run_id, "pages": 0, "resumed": done is not None}
 
-    write_table(res.withColumn("run_id", F.lit(run_id)), results_path)
+    write_table(
+        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit(mode)),
+        results_path,
+    )
     write_table(metrics_df(res).withColumn("run_id", F.lit(run_id)), metrics_path)
     errors = res.filter(F.col("error").isNotNull()).count()
     res.unpersist()

@@ -188,3 +188,17 @@ def test_cost_rebalance_beats_salt_on_skew(spark):
     # uniform salting and keep the heaviest partition near the mean
     assert cost_ratio <= salt_ratio
     assert cost_ratio < 1.35
+
+
+def test_resume_is_mode_scoped(spark, pages, tmp_path):
+    """A layout-only run must not mark urls complete for full extraction."""
+    out = str(tmp_path / "ckpt3")
+    sub = pages.limit(6)
+    s1 = run_with_resume(spark, sub, out, with_text=False)
+    assert s1["pages"] == 6
+    s2 = run_with_resume(spark, sub, out, with_text=True)  # full run still due
+    assert s2["pages"] == 6
+    s3 = run_with_resume(spark, sub, out, with_text=True)  # now resumed
+    assert s3["pages"] == 0
+    res = spark.read.parquet(f"{out}/results")
+    assert set(r["mode"] for r in res.select("mode").distinct().collect()) == {"layout", "full"}
