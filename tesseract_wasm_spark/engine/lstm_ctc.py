@@ -53,20 +53,28 @@ class NumpyLSTM:
         self.hidden = w_h.shape[0]
 
     def forward(self, x: np.ndarray) -> np.ndarray:
-        t_steps = x.shape[0]
-        h = np.zeros(self.hidden)
-        c = np.zeros(self.hidden)
-        out = np.empty((t_steps, self.hidden))
+        return self.forward_batch(x[None, :, :])[0]
+
+    def forward_batch(self, x: np.ndarray) -> np.ndarray:
+        """x [B, T, D] -> h [B, T, H]: the recurrence is sequential in T but
+        all B sequences (the words of a line) step together, so the Python
+        loop runs max-T times instead of sum-of-T times."""
+        bsz, t_steps, _ = x.shape
         hh = self.hidden
+        h = np.zeros((bsz, hh))
+        c = np.zeros((bsz, hh))
+        out = np.empty((bsz, t_steps, hh))
+        xz = x.reshape(bsz * t_steps, -1) @ self.w_x  # precompute input term
+        xz = xz.reshape(bsz, t_steps, -1)
         for t in range(t_steps):
-            z = x[t] @ self.w_x + h @ self.w_h + self.b
-            i = _sigmoid(z[:hh])
-            f = _sigmoid(z[hh : 2 * hh])
-            g = np.tanh(z[2 * hh : 3 * hh])
-            o = _sigmoid(z[3 * hh :])
+            z = xz[:, t, :] + h @ self.w_h + self.b
+            i = _sigmoid(z[:, :hh])
+            f = _sigmoid(z[:, hh : 2 * hh])
+            g = np.tanh(z[:, 2 * hh : 3 * hh])
+            o = _sigmoid(z[:, 3 * hh :])
             c = f * c + i * g
             h = o * np.tanh(c)
-            out[t] = h
+            out[:, t, :] = h
         return out
 
 
@@ -194,19 +202,28 @@ def recognize_line_lstm_scored(
     r1 = r0 + CELL_H
     sr0, sr1 = max(r0, 0), min(r1, h)
     out: list[tuple[str, float]] = []
+    if not line.words:
+        return out
+    # build all word bands padded to the line's max width; one batched
+    # forward pass covers every word (frames beyond a word's true length are
+    # sliced off before decoding, so padding never reaches the decoder)
+    spans = []
     for word in line.words:
         anchor = word.pen_left if word.pen_left >= 0 else word.left
         width = word.right - anchor + 1
         n = max(1, -(-width // ADV))
-        span = n * ADV - 1  # last glyph's spacer column not needed
-        band = np.zeros((CELL_H, span))
-        c0 = anchor
-        sc0, sc1 = max(c0, 0), min(c0 + span, w)
+        spans.append((anchor, n * ADV - 1))  # last glyph's spacer not needed
+    t_max = max(s for _, s in spans)
+    x_all = np.zeros((len(spans), t_max, CELL_H))
+    for bi, (anchor, span) in enumerate(spans):
+        sc0, sc1 = max(anchor, 0), min(anchor + span, w)
         if sr0 < sr1 and sc0 < sc1:
-            band[sr0 - r0 : sr1 - r0, sc0 - c0 : sc1 - c0] = mask[sr0:sr1, sc0:sc1]
-        x = band.T  # [T, CELL_H] — one column per timestep
-        hidden = lstm.forward(x)
-        logits = hidden @ w_out + b_out
+            x_all[bi, sc0 - anchor : sc1 - anchor, sr0 - r0 : sr1 - r0] = (
+                mask[sr0:sr1, sc0:sc1].T
+            )
+    hidden_all = lstm.forward_batch(x_all)  # [B, T_max, H]
+    for bi, (anchor, span) in enumerate(spans):
+        logits = hidden_all[bi, :span, :] @ w_out + b_out
         # softmax log-probs. The constructed logits are hamming distances
         # (unit margins); sharpen them so the decoder's probabilities reflect
         # the construction's certainty — otherwise the weakly-blank gap frames
