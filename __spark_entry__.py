@@ -26,17 +26,27 @@ def _ensure_shipped(spark: SparkSession) -> None:
     the driver's cwd is not the repo root: ship tesseract_wasm_spark as a
     zip via addPyFile (idempotent; same mechanism as --py-files)."""
     try:
+        import hashlib  # noqa: PLC0415
         import zipfile  # noqa: PLC0415
 
-        zip_path = "/tmp/twspark_pyfiles.zip"
+        pkg = os.path.join(_REPO, "tesseract_wasm_spark")
+        sources = []
+        for root, _dirs, files in os.walk(pkg):
+            for name in sorted(files):
+                if name.endswith(".py"):
+                    sources.append(os.path.join(root, name))
+        # content-addressed zip name: a stale cached zip must never shadow
+        # newer code on the workers
+        digest = hashlib.sha256()
+        for full in sorted(sources):
+            digest.update(full.encode())
+            with open(full, "rb") as fh:
+                digest.update(fh.read())
+        zip_path = f"/tmp/twspark_pyfiles_{digest.hexdigest()[:16]}.zip"
         if not os.path.exists(zip_path):
             with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-                pkg = os.path.join(_REPO, "tesseract_wasm_spark")
-                for root, _dirs, files in os.walk(pkg):
-                    for name in sorted(files):
-                        if name.endswith(".py"):
-                            full = os.path.join(root, name)
-                            zf.write(full, os.path.relpath(full, _REPO))
+                for full in sorted(sources):
+                    zf.write(full, os.path.relpath(full, _REPO))
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # already added, or a restricted context — imports may still
