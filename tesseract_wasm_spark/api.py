@@ -67,9 +67,12 @@ class OCREngine:
             if w <= 0 or h <= 0:
                 raise ValueError(drf.ERR_ZERO_DIM)
             data = np.frombuffer(image["data"], dtype=np.uint8)
-            if data.size != w * h * 4:
+            # the reference rejects only too-short buffers (src/ocr-engine.ts:
+            # 179-181 `data.length < width*height*4`); an oversized buffer is
+            # accepted and the first w*h*4 bytes are used
+            if data.size < w * h * 4:
                 raise ValueError(drf.ERR_BAD_LENGTH)
-            rgba = data.reshape(h, w, 4)
+            rgba = data[: w * h * 4].reshape(h, w, 4)
         elif isinstance(image, np.ndarray):
             ok_shape = image.ndim == 2 or (image.ndim == 3 and image.shape[2] in (1, 4))
             if not ok_shape or image.dtype != np.uint8:

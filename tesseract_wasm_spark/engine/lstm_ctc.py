@@ -197,13 +197,42 @@ def recognize_line_lstm_scored(
     per-word percentage confidence (src/lib.cpp:302-304)."""
     lstm, w_out, b_out, chars = build_recognizer()
     blank = len(chars)
+    out, all_exact = _decode_line(mask, line, line.baseline, lstm, w_out, b_out,
+                                  chars, blank, decoder, beam_width)
+    if not all_exact:
+        # baseline-correction retry, mirroring recognize_words
+        # (recognize.py:181-201): a line whose glyphs are ALL descenders is
+        # anchored DESC_ROWS too low; the font is shift-unique, so the
+        # misalignment shows as non-exact frames (max logit < 0). Retry 3 rows
+        # up and accept only a perfect (all-frames-exact) decode.
+        from tesseract_wasm_spark.engine.segment import DESC_ROWS  # noqa: PLC0415
+
+        retry, retry_exact = _decode_line(
+            mask, line, line.baseline - DESC_ROWS, lstm, w_out, b_out,
+            chars, blank, decoder, beam_width,
+        )
+        if retry_exact:
+            line.baseline -= DESC_ROWS
+            return retry
+    return out
+
+
+def _decode_line(
+    mask: np.ndarray, line: Line, baseline: int, lstm, w_out, b_out, chars,
+    blank: int, decoder: str, beam_width: int,
+) -> tuple[list[tuple[str, float]], bool]:
+    """One LSTM+CTC pass over the line at the given baseline anchor.
+
+    Returns (per-word (text, confidence), all_exact) where all_exact means
+    every emitted frame was a bit-exact template hit (max logit == 0 by the
+    recognizer's -hamming construction)."""
     h, w = mask.shape
-    r0 = line.baseline - BASELINE_ROW
+    r0 = baseline - BASELINE_ROW
     r1 = r0 + CELL_H
     sr0, sr1 = max(r0, 0), min(r1, h)
     out: list[tuple[str, float]] = []
     if not line.words:
-        return out
+        return out, True
     # build all word bands padded to the line's max width; one batched
     # forward pass covers every word (frames beyond a word's true length are
     # sliced off before decoding, so padding never reaches the decoder)
@@ -222,6 +251,7 @@ def recognize_line_lstm_scored(
                 mask[sr0:sr1, sc0:sc1].T
             )
     hidden_all = lstm.forward_batch(x_all)  # [B, T_max, H]
+    all_exact = True
     for bi, (anchor, span) in enumerate(spans):
         logits = hidden_all[bi, :span, :] @ w_out + b_out
         # softmax log-probs. The constructed logits are hamming distances
@@ -240,10 +270,13 @@ def recognize_line_lstm_scored(
         emit = path != blank
         if emit.any():
             conf = float(np.exp(log_probs[np.arange(len(path)), path][emit]).mean())
+            if logits[np.arange(len(path)), path][emit].min() < -1e-6:
+                all_exact = False
         else:
             conf = 0.0
+            all_exact = False
         out.append(("".join(chars[s] for s in seq), conf))
-    return out
+    return out, all_exact
 
 
 def recognize_page_lstm(mask: np.ndarray, lines: list[Line], **kw) -> str:

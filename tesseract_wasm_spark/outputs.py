@@ -245,11 +245,20 @@ def hocr_df(results: DataFrame) -> DataFrame:
         F.col("_b") + 1,
         "lines_html",
     )
+    # a page with zero recognized words still yields a valid hOCR document
+    # (header + bare ocr_page div) — same as OCREngine.getHOCR on an empty
+    # page (reference renders the page div unconditionally, src/lib.cpp:224-239)
+    empty_page_html = F.format_string(
+        "  <div class='ocr_page' id='page_1' title='bbox 0 0 %d %d'>\n  </div>",
+        "width",
+        "height",
+    )
+    body = F.when(F.col("lines_html").isNull(), empty_page_html).otherwise(page_html)
     return (
-        pages.join(per_line, "url")
+        pages.join(per_line, "url", "left")
         .select(
             "url",
-            F.concat(F.lit(_HOCR_HEADER), page_html, F.lit("\n"), F.lit(_HOCR_FOOTER)).alias("hocr"),
+            F.concat(F.lit(_HOCR_HEADER), body, F.lit("\n"), F.lit(_HOCR_FOOTER)).alias("hocr"),
         )
     )
 

@@ -54,6 +54,18 @@ def test_bad_image_data_messages(engine):
         engine.loadImage({"data": b"", "width": 0, "height": 100})
 
 
+def test_oversized_image_data_accepted(engine):
+    # the reference rejects only too-short buffers (src/ocr-engine.ts:179-181
+    # checks `data.length < width*height*4`); an oversized ImageData loads and
+    # the first w*h*4 bytes are used
+    img = render_page(SMALL_PAGE_LINES[:2])
+    h, w = img.shape[:2]
+    padded = img.tobytes() + b"\xff" * 64
+    engine.loadImage({"data": padded, "width": w, "height": h})
+    engine.loadModel(b"font")
+    assert engine.getText() == expected_text(SMALL_PAGE_LINES[:2])
+
+
 def test_invalid_text_unit(loaded):
     # reference: "Invalid text unit" (src/ocr-engine.ts:335)
     with pytest.raises(ValueError, match="Invalid text unit"):

@@ -51,6 +51,18 @@ def test_lstm_agrees_with_template_matcher_on_corpus():
         assert via_lstm == via_templates == expected_text(lines_txt)
 
 
+def test_lstm_all_descender_baseline_retry():
+    """A line whose glyphs are all descenders (gjpqy) anchors the baseline
+    DESC_ROWS low; the LSTM path retries 3 rows up exactly like the template
+    path (recognize.py:181-201) and both stay byte-identical."""
+    lines_txt = ["gjq pygj jjj", "normal line here"]
+    img = render_page(lines_txt)
+    mask, lines = _lines_for(img)
+    assert recognize_page_lstm(mask, lines) == expected_text(lines_txt)
+    # parity with the template path on the same page
+    assert process_rgba(img).page_text == expected_text(lines_txt)
+
+
 def test_ctc_decoders_basic():
     # logits: T=6 frames, 3 classes (0, 1, blank=2)
     big, small = 10.0, -10.0

@@ -107,6 +107,21 @@ def test_hocr_distributed(results):
     assert h.endswith("</html>")
 
 
+def test_hocr_empty_page_document(results):
+    """A page with zero recognized words yields the same valid empty-page hOCR
+    document OCREngine.getHOCR emits (header + bare ocr_page div) — the two
+    hOCR surfaces must agree."""
+    from tesseract_wasm_spark.api import createOCREngine
+    from tesseract_wasm_spark.raster import empty_page
+
+    rows = O.hocr_df(results).filter(F.col("url").contains("empty-100x100")).collect()
+    assert len(rows) == 1
+    eng = createOCREngine()
+    eng.loadModel(b"font")
+    eng.loadImage(empty_page(100, 100))
+    assert rows[0]["hocr"] == eng.getHOCR()
+
+
 def test_metrics_lineage(results):
     m = metrics_df(results).collect()
     assert sum(r["pages"] for r in m) == results.count()
