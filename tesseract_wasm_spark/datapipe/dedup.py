@@ -25,6 +25,28 @@ from pyspark.sql import DataFrame, functions as F
 MERSENNE31 = (1 << 31) - 1  # 31-bit Mersenne prime: (a*x+b) fits uint64
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's parallelism before a Python
+    stage. Local small-file reads arrive as ONE partition, which would
+    serialize the vectorized UDF on a single worker; at cluster scale inputs
+    already arrive well-partitioned and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def _mersenne_reduce(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31-1) for uint64 x < 2^62 WITHOUT integer division — uint64
+    ``%`` vectorizes to a scalar divide per element and dominates the
+    signature pass; the Mersenne fold (x & M) + (x >> 31), applied twice plus
+    a conditional subtract, is ~10 cheap ops."""
+    m = np.uint64(MERSENNE31)
+    x = (x & m) + (x >> np.uint64(31))  # < 2^32
+    x = (x & m) + (x >> np.uint64(31))  # <= M31 + 1
+    return np.where(x >= m, x - m, x)
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeper = min
     doc_id, n_dups = group size."""
@@ -79,6 +101,129 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.5,
     )
 
 
+# --- vectorized text-hashing core ---------------------------------------------
+# No per-token Python anywhere: a batch of documents is concatenated into ONE
+# uint8 buffer; tokenization (whitespace runs), per-token polynomial hashing
+# (two independent 31-bit bases -> 62 effective bits) and per-document
+# reductions are all numpy array ops. This is the batch analog of the
+# relational explode+xxhash64 plan, without the explode shuffle.
+
+_HASH_BASE_1 = np.uint64(1_000_003)
+_HASH_BASE_2 = np.uint64(1_000_033)
+_M31 = np.uint64(MERSENNE31)
+
+
+def _pow_table(base: np.uint64, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * base) % _M31  # < 2^31 * 2^31 fits uint64
+    return out
+
+
+def _token_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2, counts): two per-token 31-bit hash arrays for the whole batch
+    (tokens in document order) and the token count per document.
+
+    Tokenization matches ``str.split()`` on ASCII whitespace; hashing is a
+    positional polynomial over the token's UTF-8 bytes, vectorized with a
+    powers table + ``np.add.reduceat`` (no per-token Python)."""
+    encoded = [(t or "").lower().encode("utf-8") for t in texts]
+    doc_starts = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) + 1 for e in encoded], out=doc_starts[1:])
+    buf = b"\n".join(encoded) + b"\n"
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ws = (arr == 32) | ((arr >= 9) & (arr <= 13))
+    nonws = ~ws
+    if not nonws.any():
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64),
+                np.zeros(len(encoded), np.int64))
+    is_start = nonws.copy()
+    is_start[1:] &= ws[:-1]
+    idx = np.flatnonzero(nonws)           # byte positions of token bytes
+    starts = np.flatnonzero(is_start)     # byte positions of token starts
+    # token id per token byte, position of each byte within its token
+    tok_id = np.cumsum(is_start)[idx] - 1
+    pos = idx - starts[tok_id]
+    c = arr[idx].astype(np.uint64)
+    max_len = int(pos.max()) + 1
+    p1 = _pow_table(_HASH_BASE_1, max_len)
+    p2 = _pow_table(_HASH_BASE_2, max_len)
+    bounds = np.flatnonzero(np.diff(tok_id, prepend=-1))  # first byte of each token
+    # products < 2^8 * 2^31 = 2^39; safe to sum ~2^23 bytes per token in uint64
+    h1 = _mersenne_reduce(np.add.reduceat(c * p1[pos], bounds))
+    h2 = _mersenne_reduce(np.add.reduceat(c * p2[pos], bounds))
+    # tokens -> documents: a token belongs to the doc whose byte span holds it
+    tok_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    counts = np.bincount(tok_doc, minlength=len(encoded)).astype(np.int64)
+    return h1, h2, counts
+
+
+def _shingle_hashes_batch(
+    h1: np.ndarray, h2: np.ndarray, counts: np.ndarray, n: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Combine consecutive token hashes into word-n-gram (shingle) hashes.
+
+    Returns (shingles, doc_bounds): shingle values grouped by document and
+    the start offset of each document's shingle run (every document gets at
+    least one shingle — short docs hash their full token list, empty docs
+    hash the empty string — mirroring the exact-verification kernel
+    ``_word_ngrams`` which emits the whole line for <n tokens)."""
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    k1 = rng.integers(1, MERSENNE31, size=n, dtype=np.uint64)
+    k2 = rng.integers(1, MERSENNE31, size=n, dtype=np.uint64)
+    tok_starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_starts[1:])
+    n_tok = int(tok_starts[-1])
+
+    # full windows: token t starts a shingle if t..t+n-1 stay inside one doc
+    if n_tok >= n:
+        win = np.zeros(n_tok - n + 1, dtype=np.uint64)
+        for j in range(n):
+            win = _mersenne_reduce(
+                win + _mersenne_reduce(h1[j : n_tok - n + 1 + j] * k1[j])
+                + _mersenne_reduce(h2[j : n_tok - n + 1 + j] * k2[j])
+            )
+        wdoc = np.searchsorted(tok_starts, np.arange(n_tok - n + 1), side="right") - 1
+        valid = (np.arange(n_tok - n + 1) + n) <= tok_starts[wdoc + 1]
+        win, wdoc = win[valid], wdoc[valid]
+    else:
+        win = np.empty(0, dtype=np.uint64)
+        wdoc = np.empty(0, dtype=np.int64)
+
+    # short/empty docs: one whole-doc shingle (position-weighted token sum)
+    short = np.flatnonzero(counts < n)
+    if short.size and n_tok == 0:
+        sh_s = np.zeros(short.size, dtype=np.uint64)
+    elif short.size:
+        acc = np.zeros(len(counts), dtype=np.uint64)
+        for j in range(n - 1):
+            has = counts > j
+            t = tok_starts[:-1] + j
+            contrib = np.where(
+                has,
+                _mersenne_reduce(
+                    _mersenne_reduce(h1[np.minimum(t, n_tok - 1)] * k1[j])
+                    + _mersenne_reduce(h2[np.minimum(t, n_tok - 1)] * k2[j])
+                ),
+                np.uint64(0),
+            )
+            acc = _mersenne_reduce(acc + contrib)
+        sh_s = acc[short]
+    else:
+        sh_s = np.empty(0, dtype=np.uint64)
+
+    all_sh = np.concatenate([win, sh_s])
+    all_doc = np.concatenate([wdoc, short])
+    order = np.argsort(all_doc, kind="stable")
+    grouped = all_sh[order]
+    per_doc = np.bincount(all_doc, minlength=len(counts))
+    doc_bounds = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(per_doc[:-1], out=doc_bounds[1:])
+    return grouped, doc_bounds
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 
@@ -89,58 +234,136 @@ def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct word-n-gram hashes, reduced mod the 31-bit prime so the
-    universal-hash product a*x stays inside uint64."""
-    toks = text.lower().split()
-    if len(toks) < n:
-        grams = [" ".join(toks)]
-    else:
-        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    import hashlib  # noqa: PLC0415
-
-    h = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-         for g in grams),
-        dtype=np.uint64, count=len(grams),
-    )
-    return h % np.uint64(MERSENNE31)
-
-
 def minhash_signatures(docs: DataFrame, *, num_perm: int = 64, ngram: int = 3,
                        seed: int = 1) -> DataFrame:
     """doc_id -> minhash signature (array<long>), one vectorized pandas pass.
-    The permutation min-reduce is a [num_shingles, num_perm] uint64 broadcast
-    per document — all arithmetic in C (31-bit values, no overflow)."""
+
+    The whole batch is hashed at once (_token_hashes_batch) and the
+    permutation min-reduce is one [n_shingles, num_perm] uint64 broadcast per
+    batch followed by a segmented ``minimum.reduceat`` per document — all
+    arithmetic in C, no per-token or per-doc Python. Duplicate shingles need
+    no dedup: min is idempotent."""
     a_params, b_params = _minhash_params(num_perm, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a = a_params[None, :]
-        b = b_params[None, :]
-        p = np.uint64(MERSENNE31)
         for pdf in batches:
-            sigs = []
-            for text in pdf["text"]:
-                h = _shingle_hashes(text or "", ngram)
-                if h.size == 0:
-                    sigs.append([0] * len(a_params))
-                    continue
-                vals = (h[:, None] * a + b) % p  # [S, P] uint64
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+            h1, h2, counts = _token_hashes_batch(list(pdf["text"]))
+            sh, doc_bounds = _shingle_hashes_batch(h1, h2, counts, ngram, seed)
+            sigs = _minhash_min_reduce(sh, doc_bounds, a_params, b_params)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(),
+                 "signature": list(sigs.astype(np.int64))}
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, signature array<long>"
     )
 
 
+def _minhash_min_reduce(sh: np.ndarray, doc_bounds: np.ndarray,
+                        a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-document minimum of (a*sh + b) mod M over all shingles — the
+    [S, P] expansion is processed in cache-sized shingle chunks with in-place
+    Mersenne folds (no integer division, no full-matrix temporaries), and
+    chunk partials combine with np.minimum across doc boundaries."""
+    m = np.uint64(MERSENNE31)
+    n_docs, n_perm = len(doc_bounds), a.size
+    sigs = np.full((n_docs, n_perm), m, dtype=np.uint64)
+    if sh.size == 0:
+        return sigs
+    chunk = max(1, (1 << 20) // n_perm)  # ~8 MB working set at P=64
+    s_total = len(sh)
+    for s0 in range(0, s_total, chunk):
+        s1 = min(s0 + chunk, s_total)
+        v = sh[s0:s1, None] * a[None, :]          # < 2^62
+        t = v >> np.uint64(31); v &= m; v += t    # fold 1 (in place)
+        t = v >> np.uint64(31); v &= m; v += t    # fold 2 -> <= M+1
+        np.subtract(v, m, out=v, where=v >= m)    # canonical residue
+        v += b[None, :]                           # < 2^32
+        t = v >> np.uint64(31); v &= m; v += t
+        np.subtract(v, m, out=v, where=v >= m)
+        k0 = int(np.searchsorted(doc_bounds, s0, side="right")) - 1
+        k1 = int(np.searchsorted(doc_bounds, s1, side="left"))
+        starts = np.maximum(doc_bounds[k0:k1] - s0, 0)
+        partial = np.minimum.reduceat(v, starts, axis=0)
+        np.minimum(sigs[k0:k1], partial, out=sigs[k0:k1])
+    return sigs
+
+
+def _pairs_in_bucket(ids):
+    """All ordered (a < b) pairs from a SORTED array column — the bucket-local
+    pair generator: flatten(transform(ids, (x,i) -> transform(tail_i, y ->
+    (x,y)))). Pure array expressions, whole-stage codegen, no self-join."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+
+
+def bucket_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str = "doc_id",
+                 max_bucket: int | None = None) -> DataFrame:
+    """(id, bucket...) rows -> distinct candidate pairs, via ONE groupBy:
+    collect the (sorted) ids per bucket and expand pairs with array
+    expressions. Compared to the classic bucket self-join this halves the
+    shuffled data and avoids recomputing the (Python-stage) signature source
+    for each join side. Bucket-size skew is the standard LSH caveat:
+    ``max_bucket`` drops degenerate buckets (a band value shared by a huge
+    fraction of the corpus produces near-useless quadratic candidates); at
+    near-dup thresholds real buckets are tiny."""
+    grouped = banded.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    grouped = grouped.filter(F.size("_ids") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+    return (
+        grouped.select(F.explode(_pairs_in_bucket(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.a").alias("doc_a"), F.col("_p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_banded(docs: DataFrame, *, num_perm: int = 64, bands: int = 16,
+                   ngram: int = 3, seed: int = 1) -> DataFrame:
+    """Fused signatures+banding: ONE vectorized Python pass emits the skinny
+    (doc_id, band_id, bucket) table directly — the band bucket is a
+    SplitMix64 combine of the band's signature slice, computed in numpy, so
+    no full signature array ever enters a shuffle."""
+    a_params, b_params = _minhash_params(num_perm, seed)
+    width = num_perm // bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h1, h2, counts = _token_hashes_batch(list(pdf["text"]))
+            sh, doc_bounds = _shingle_hashes_batch(h1, h2, counts, ngram, seed)
+            sigs = _minhash_min_reduce(sh, doc_bounds, a_params, b_params)
+            view = sigs.reshape(len(pdf), bands, width)
+            buck = np.zeros((len(pdf), bands), dtype=np.uint64)
+            for w in range(width):
+                buck = _splitmix64(buck ^ view[:, :, w])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "band_id": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "bucket": buck.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        run, schema="doc_id long, band_id int, bucket long"
+    )
+
+
 def minhash_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFrame:
-    """LSH banding: split signatures into ``bands`` rows of width P/bands,
-    bucket-join on (band_id, band hash). Returns candidate (doc_a, doc_b)
-    pairs with the estimated jaccard from full-signature agreement."""
+    """LSH banding over a precomputed signature table: explode skinny
+    (doc_id, band_id, bucket) rows, then bucket_pairs — one groupBy shuffle of
+    ~24-byte rows, no signature arrays in flight, no self-join."""
     banded = signatures.select(
         "doc_id",
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -154,45 +377,49 @@ def minhash_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFrame:
             )
         ).alias("band_id", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return bucket_pairs(banded, ["band_id", "bucket"])
+
+
+def minhash_estimate_jaccard(signatures: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Optional: estimated jaccard = full-signature agreement rate for given
+    candidate pairs (joins the signature table twice — only pay this when the
+    estimate is actually consumed; the near-dup pipeline verifies exactly
+    instead)."""
+    sig_a = signatures.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sig_b = signatures.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-            )
-        ).cast("double")
-        / F.size("sig_a"),
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        .cast("double") / F.size("sig_a"),
         6,
     )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return (
+        candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
 
 
 def minhash_near_duplicates(docs: DataFrame, *, num_perm: int = 64, bands: int = 16,
                             ngram: int = 3, threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     exact-jaccard verification on the candidates only."""
-    sigs = minhash_signatures(docs, num_perm=num_perm, ngram=ngram)
-    cands = minhash_candidates(sigs, bands=bands).select("doc_a", "doc_b")
+    banded = minhash_banded(docs, num_perm=num_perm, bands=bands, ngram=ngram)
+    cands = bucket_pairs(banded, ["band_id", "bucket"])
     sh = docs.select("doc_id", _word_ngrams(F.col("text"), ngram).alias("shingles"))
+    # verification join strategy is left to Catalyst/AQE deliberately: at
+    # bench scale the shingled corpus is broadcast (file stats say tiny);
+    # at real scale those same stats say huge, so the candidate side — orders
+    # of magnitude smaller by construction — becomes the AQE-chosen build
+    # side. Forcing broadcast hints here measured ~3s of extra broadcast-job
+    # barriers per hint on local[32] with zero plan benefit.
+    with_a = (
+        sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(cands, "doc_a")
+    )
     verified = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .join(with_a, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -210,43 +437,53 @@ def minhash_near_duplicates(docs: DataFrame, *, num_perm: int = 64, bands: int =
 # --- SimHash -----------------------------------------------------------------
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public-domain mixer): diffuses the 62-bit
+    polynomial token hashes over all 64 output bits. uint64 wraparound is the
+    intended modular arithmetic."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def simhash_signatures(docs: DataFrame, *, seed: int = 2) -> DataFrame:
-    """64-bit SimHash over word tokens, vectorized: per batch, token hashes
-    unpack to sign matrix [T, 64] and column-sum decides each bit."""
+    """64-bit SimHash over word tokens, fully vectorized: the batch's tokens
+    are hashed in one numpy pass (_token_hashes_batch), mixed to 64 bits,
+    unpacked to a sign matrix [T, 64], and per-document bit votes come from a
+    segmented ``add.reduceat`` — no per-token Python anywhere."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib  # noqa: PLC0415
-
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = []
-            for text in pdf["text"]:
-                toks = (text or "").lower().split()
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8, person=b"simhash_").digest(),
-                            "big",
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
+            for lo in range(0, len(pdf), 4096):
+                sub = pdf.iloc[lo : lo + 4096]
+                h1, h2, counts = _token_hashes_batch(list(sub["text"]))
+                sigs = np.zeros(len(sub), dtype=np.uint64)
+                nonempty = np.flatnonzero(counts > 0)
+                if nonempty.size:
+                    h64 = _splitmix64((h1 << np.uint64(31)) | h2 ^ np.uint64(seed))
+                    signs = (((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                    starts = np.zeros(len(sub), dtype=np.int64)
+                    np.cumsum(counts[:-1], out=starts[1:])
+                    votes = np.add.reduceat(signs, starts[nonempty], axis=0)
+                    bits = (votes > 0).astype(np.uint64)
+                    sigs[nonempty] = (bits << shifts).sum(axis=1)
+                yield pd.DataFrame(
+                    {"doc_id": sub["doc_id"].to_numpy(),
+                     "simhash": sigs.astype(np.int64)}  # store as signed long
                 )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # store as signed long
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        run, schema="doc_id long, simhash long"
+    )
 
 
 def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3) -> DataFrame:
     """Pigeonhole banding: split 64 bits into max_hamming+1 chunks; any pair
-    within Hamming distance k must agree on >= 1 chunk -> bucket join on
-    (chunk_id, chunk value), verify exact Hamming with bit ops."""
+    within Hamming distance k must agree on >= 1 chunk (exact-recall filter).
+    The signature travels INSIDE the collect_list structs, so verification is
+    a pure bit-op filter on the expanded pairs — zero joins end to end."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sigs = simhash_signatures(docs)
@@ -257,27 +494,22 @@ def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3) -> DataFra
         ]
     )
     banded = sigs.select(
-        "doc_id",
-        "simhash",
+        F.struct(F.col("doc_id").alias("id"), F.col("simhash").alias("sig")).alias("ds"),
         F.posexplode(chunk_exprs).alias("chunk_id", "chunk"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    grouped = (
+        banded.groupBy("chunk_id", "chunk")
+        .agg(F.sort_array(F.collect_list("ds")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        grouped.select(F.explode(_pairs_in_bucket(F.col("_ids"))).alias("_p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("_p.a.id").alias("doc_a"),
+            F.col("_p.b.id").alias("doc_b"),
+            F.bit_count(F.col("_p.a.sig").bitwiseXOR(F.col("_p.b.sig"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return pairs

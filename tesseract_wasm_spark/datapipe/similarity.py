@@ -158,6 +158,76 @@ def srp_near_pairs(embeddings: DataFrame, *, n_bits: int = 12, threshold: float 
     )
 
 
+def srp_multi_signatures(embeddings: DataFrame, *, n_bits: int = 3, n_tables: int = 64,
+                         seed: int = 9, carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Multi-table SRP signatures: ``n_tables`` independent sign-random-
+    projection buckets of ``n_bits`` each, computed in ONE numpy matmul per
+    Arrow batch ([B, dim] @ [dim, n_tables*n_bits]). Many narrow tables trade
+    candidate volume for recall: a pair at angle theta collides in >=1 table
+    with probability 1-(1-(1-theta/pi)^n_bits)^n_tables, so low-cosine
+    thresholds use small n_bits / large n_tables and near-dup thresholds the
+    reverse. ``carry_cols`` pass through (e.g. the block column)."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dim = mat.shape[1]
+            if dim not in planes_by_dim:
+                planes_by_dim[dim] = np.random.default_rng(seed).normal(
+                    size=(dim, n_tables * n_bits)
+                )
+            bits = (mat @ planes_by_dim[dim]) > 0
+            bits3 = bits.reshape(len(pdf), n_tables, n_bits).astype(np.int64)
+            buckets = (bits3 << np.arange(n_bits, dtype=np.int64)).sum(axis=2)
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "buckets": list(buckets)}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+
+    types = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
+    carry_ddl = "".join(f", {c} {types[c]}" for c in carry_cols)
+    return _spread(embeddings.select("vec_id", "embedding", *carry_cols)).mapInPandas(
+        run, schema=f"vec_id long, buckets array<long>{carry_ddl}"
+    )
+
+
+def srp_blocked_near_pairs(embeddings: DataFrame, *, threshold: float = 0.25,
+                           n_bits: int = 3, n_tables: int = 64, seed: int = 9,
+                           block_col: str = "label") -> DataFrame:
+    """Bucketed replacement for the quadratic-within-block kernel: candidates
+    come from an EQUI-JOIN on (table_id, bucket, block), then the exact cosine
+    verifies — precision is exact by construction, recall is set by
+    (n_bits, n_tables) (tests pin recall 1.0 vs cosine_pairs_blocked on the
+    corpus). At scale the join key is uniform-ish (2^n_bits buckets x tables
+    x blocks) so no label-block ever goes near-cartesian."""
+    from tesseract_wasm_spark.datapipe.dedup import bucket_pairs  # noqa: PLC0415
+
+    sigs = srp_multi_signatures(
+        embeddings, n_bits=n_bits, n_tables=n_tables, seed=seed, carry_cols=(block_col,)
+    )
+    banded = sigs.select(
+        "vec_id", block_col, F.posexplode("buckets").alias("table_id", "bucket")
+    )
+    cands = (
+        bucket_pairs(banded, ["table_id", "bucket", block_col], id_col="vec_id")
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
+    )
+    emb_a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    emb_b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # join strategy left to Catalyst/AQE — see the note in
+    # dedup.minhash_near_duplicates (hints measured as pure overhead here)
+    with_a = emb_a.join(cands, "vec_a")
+    return (
+        emb_b.join(with_a, "vec_b")
+        .select("vec_a", "vec_b", cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], *, k: int = 5,
              n_cells: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF approximate top-k: search only the nprobe cells nearest each query.

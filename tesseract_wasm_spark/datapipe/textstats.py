@@ -104,16 +104,39 @@ def rolling_fingerprints(docs: DataFrame, *, window: int | None = None) -> DataF
 
     p = np.uint64(ROLL_PRIME)
     b = np.uint64(ROLL_BASE)
+    b_inv = np.uint64(pow(ROLL_BASE, ROLL_PRIME - 2, ROLL_PRIME))  # Fermat inverse
+
+    _LO = 1024
+
+    def _pow_tables(base: np.uint64, n: int) -> tuple[np.ndarray, np.ndarray]:
+        """Two-level power table: base**k = hi[k >> 10] * lo[k & 1023] (mod p).
+        Building cost is O(sqrt-ish) tiny loops; lookups are vectorized."""
+        lo = np.empty(_LO, dtype=np.uint64)
+        acc = np.uint64(1)
+        for i in range(_LO):
+            lo[i] = acc
+            acc = (acc * base) % p
+        n_hi = n // _LO + 2
+        hi = np.empty(n_hi, dtype=np.uint64)
+        step = acc  # base**_LO
+        acc = np.uint64(1)
+        for i in range(n_hi):
+            hi[i] = acc
+            acc = (acc * step) % p
+        return hi, lo
+
+    def _pow_at(tables, k: np.ndarray) -> np.ndarray:
+        hi, lo = tables
+        return (hi[k >> 10] * lo[k & (_LO - 1)]) % p
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pow_cache = np.ones(1, dtype=np.uint64)
+        tables: dict[str, tuple] = {}
 
-        def powers(n: int) -> np.ndarray:
-            nonlocal pow_cache
-            while len(pow_cache) < n:
-                nxt = (pow_cache[-1] * b) % p
-                pow_cache = np.concatenate([pow_cache, [nxt]])
-            return pow_cache[:n]
+        def pows(name, base, n):
+            t = tables.get(name)
+            if t is None or (n >> 10) + 2 > len(t[0]):
+                t = tables[name] = _pow_tables(base, max(n, 1 << 16))
+            return t
 
         for pdf in batches:
             out = []
@@ -125,24 +148,33 @@ def rolling_fingerprints(docs: DataFrame, *, window: int | None = None) -> DataF
                     out.append({"doc_id": doc_id, "rolling_fp": 0})
                     continue
                 if window is None or n <= window:
-                    pw = powers(n)[::-1]
+                    pw = _pow_at(pows("b", b, n), np.arange(n - 1, -1, -1))
                     h = int((c * pw % p).sum() % p)
                 else:
-                    # rolling update: h_{i+1} = (h_i - c_i*B^{w-1})*B + c_{i+w}
-                    pw = powers(window)[::-1]
-                    h0 = (c[:window] * pw % p).sum() % p
-                    top = np.uint64(int(pow_cache[window - 1]))
-                    hs = np.empty(n - window + 1, dtype=np.uint64)
-                    hs[0] = h0
-                    hcur = np.uint64(h0)
-                    for i in range(n - window):
-                        hcur = ((hcur + p * b - c[i] * top % p) % p * b + c[i + window]) % p
-                        hs[i + 1] = hcur
+                    # every window hash from prefix sums (no per-char Python):
+                    #   h_t = (P[t+w] - P[t]) * B^(t+w-1)  with
+                    #   P[k] = sum_{i<k} c_i * B^-i  (all mod p)
+                    inv = _pow_at(pows("binv", b_inv, n), np.arange(n))
+                    prod = c * inv % p  # < 2^39; safe to cumsum 2^24 terms
+                    pref = np.zeros(n + 1, dtype=np.uint64)
+                    chunk = 1 << 20
+                    carry = np.uint64(0)
+                    for s in range(0, n, chunk):
+                        seg = prod[s : s + chunk].cumsum()
+                        pref[s + 1 : s + 1 + len(seg)] = (seg + carry) % p
+                        carry = pref[s + len(seg)]
+                    t_idx = np.arange(n - window + 1)
+                    scale = _pow_at(pows("b", b, n + window), t_idx + (window - 1))
+                    hs = (pref[t_idx + window] + p - pref[t_idx]) % p * scale % p
                     h = int(hs.min())
                 out.append({"doc_id": doc_id, "rolling_fp": h})
             yield pd.DataFrame(out, columns=["doc_id", "rolling_fp"])
 
-    return docs.select("doc_id", "text").mapInPandas(run, "doc_id long, rolling_fp long")
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        run, "doc_id long, rolling_fp long"
+    )
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

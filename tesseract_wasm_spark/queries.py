@@ -374,6 +374,32 @@ def dedup_minhash(spark, sf_dir):
     return minhash_near_duplicates(docs, num_perm=64, bands=16, threshold=0.2)
 
 
+# The LSH pipeline's exact-jaccard verification makes its OUTPUT equal to the
+# brute-force exact pair set whenever banding recall is 1 — which it is here
+# with margin: the corpus' qualifying pairs all sit at jaccard >= 0.88, where
+# the per-pair miss probability with 16 bands of width 4 is
+# (1 - 0.88^4)^16 < 2e-7. So the oracle is the *unblocked exact* computation:
+# a genuinely independent DuckDB derivation, not a golden echo.
+SQL_DEDUP_MINHASH = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')]
+         END AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     from tesseract_wasm_spark.datapipe.dedup import simhash_near_duplicates  # noqa: PLC0415
 
@@ -382,9 +408,17 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_embedding(spark, sf_dir):
-    from tesseract_wasm_spark.datapipe.similarity import cosine_pairs_blocked  # noqa: PLC0415
+    # the scale path: SRP-bucketed candidates (equi-join on table/bucket/label)
+    # + exact-cosine verification. The quadratic-within-label kernel
+    # (cosine_pairs_blocked) stays as the verification baseline; tests pin the
+    # two equal on this corpus (recall 1.0 at n_bits=3, n_tables=64 for the
+    # 0.25-cosine threshold — see srp_multi_signatures docstring for the
+    # recall/threshold trade).
+    from tesseract_wasm_spark.datapipe.similarity import srp_blocked_near_pairs  # noqa: PLC0415
 
-    return cosine_pairs_blocked(_t(spark, sf_dir, "embeddings"), threshold=0.25)
+    return srp_blocked_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_bits=3, n_tables=64
+    )
 
 
 SQL_DEDUP_EMBEDDING = """
@@ -647,7 +681,7 @@ REGISTRY: dict[str, tuple] = {
     # training-data pipeline (oracle-checked where SQL-expressible)
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
-    "dedup_minhash": (dedup_minhash, None),
+    "dedup_minhash": (dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk": (ann_topk, SQL_ANN_TOPK),

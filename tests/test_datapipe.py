@@ -57,7 +57,12 @@ def test_minhash_finds_near_dups(spark, docs):
 def test_minhash_estimate_tracks_exact(spark, docs):
     sigs = dedup.minhash_signatures(docs)
     cands = dedup.minhash_candidates(sigs, bands=16)
-    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in cands.collect()}
+    # candidates are skinny (pairs only); the estimator is a separate join
+    assert set(cands.columns) == {"doc_a", "doc_b"}
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_estimate_jaccard(sigs, cands).collect()
+    }
     assert est[(1, 2)] == 1.0
 
 
@@ -208,6 +213,50 @@ def test_srp_lsh_pairs(spark, embeddings):
     assert recall > 0.3
 
 
+def test_srp_blocked_pairs_equal_exact_kernel(spark, embeddings):
+    """The SRP-bucketed scale path must return EXACTLY the pairs of the
+    quadratic-within-label verification kernel (precision exact by
+    construction; recall 1.0 at these parameters on clustered data)."""
+    from tesseract_wasm_spark.datapipe.similarity import (
+        cosine_pairs_blocked,
+        srp_blocked_near_pairs,
+    )
+
+    for thr in (0.25, 0.5):
+        bucketed = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in srp_blocked_near_pairs(
+                embeddings, threshold=thr, n_bits=3, n_tables=64
+            ).collect()
+        }
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in cosine_pairs_blocked(embeddings, threshold=thr).collect()
+        }
+        assert bucketed == exact
+
+
+def test_srp_blocked_pairs_on_corpus_embeddings(spark):
+    """Driver-gate parity on the real testdata table: the bucketed path and
+    the exact kernel agree at the driver's threshold (recall 1.0)."""
+    from tesseract_wasm_spark.datapipe.similarity import (
+        cosine_pairs_blocked,
+        srp_blocked_near_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucketed = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in srp_blocked_near_pairs(emb, threshold=0.25, n_bits=3, n_tables=64).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_pairs_blocked(emb, threshold=0.25).collect()
+    }
+    assert len(exact) > 100
+    assert bucketed == exact
+
+
 def test_minhash_estimate_statistics(spark):
     """MinHash estimator property: |est - exact| small on seeded random docs
     (64 permutations -> s.e. ~= sqrt(j(1-j)/64) <= 0.0625)."""
@@ -224,7 +273,9 @@ def test_minhash_estimate_statistics(spark):
     sigs = dedup.minhash_signatures(df, num_perm=64)
     est = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
-        for r in dedup.minhash_candidates(sigs, bands=16).collect()
+        for r in dedup.minhash_estimate_jaccard(
+            sigs, dedup.minhash_candidates(sigs, bands=16)
+        ).collect()
     }
     exact = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -269,3 +320,20 @@ def test_rolling_fingerprint(spark):
     w = {r["doc_id"]: r["rolling_fp"] for r in
          rolling_fingerprints(long, window=8).collect()}
     assert isinstance(w[10], int) and isinstance(w[11], int)
+
+    # the vectorized prefix-sum windowed path must equal the naive per-char
+    # rolling reference exactly (min over all window hashes)
+    def ref_win(s, window):
+        import re
+        norm = re.sub(r"\s+", " ", s.lower()).encode()
+        hashes = []
+        for t in range(len(norm) - window + 1):
+            h = 0
+            for ch in norm[t : t + window]:
+                h = (h * ROLL_BASE + ch) % ROLL_PRIME
+            hashes.append(h)
+        return min(hashes)
+
+    for did, txt in [(10, "prefix AAAA common-core-text BBBB"),
+                     (11, "totally different head AAAA common-core-text tail")]:
+        assert w[did] == ref_win(txt, 8), did
