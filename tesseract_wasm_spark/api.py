@@ -251,6 +251,9 @@ def _render_hocr_local(res: PageResult) -> str:
     if not lines:
         page = f"  <div class='ocr_page' id='page_1' title='bbox 0 0 {res.width} {res.height}'>\n  </div>"
         return _HOCR_HEADER + page + "\n" + _HOCR_FOOTER
+    import math  # noqa: PLC0415
+
+    slope = repr(round(math.tan(math.radians(res.skew_degrees)), 4))
     blocks = []
     for li in sorted(lines):
         ws = sorted(lines[li], key=lambda w: w.word_id)
@@ -263,10 +266,11 @@ def _render_hocr_local(res: PageResult) -> str:
             for w in ws
         )
         blocks.append(
-            "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; baseline 0 %d; "
+            "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; baseline %s %d; "
             "x_size %d; x_descenders %d; x_ascenders %d\">\n%s\n     </span>"
             % (
                 li + 1, l, t, r + 1, b + 1,
+                slope,
                 baseline - b,  # offset from bbox bottom (<= 0)
                 b - t + 1,
                 b - baseline,

@@ -32,7 +32,7 @@ from tesseract_wasm_spark.engine.components import label_components
 from tesseract_wasm_spark.engine.orientation import detect_orientation
 from tesseract_wasm_spark.engine.otsu import binarize
 from tesseract_wasm_spark.engine.recognize import recognize_words
-from tesseract_wasm_spark.engine.segment import estimate_skew_degrees, segment
+from tesseract_wasm_spark.engine.segment import segment
 
 START_OF_LINE = 1  # reference: src/lib.cpp:19-24 LayoutFlags
 END_OF_LINE = 2
@@ -71,6 +71,18 @@ class PageResult:
     page_text: str = ""
 
 
+def _despeckle(comps):
+    keep = comps.area >= MIN_COMPONENT_AREA
+    if keep.all():
+        return comps
+    from tesseract_wasm_spark.engine.components import Components  # noqa: PLC0415
+
+    return Components(
+        comps.left[keep], comps.top[keep], comps.right[keep],
+        comps.bottom[keep], comps.area[keep],
+    )
+
+
 def process_page(payload: bytes, *, with_text: bool = True, with_orientation: bool = True,
                  recognizer: str = "template") -> PageResult:
     try:
@@ -91,15 +103,22 @@ def process_rgba(
     h, w = rgba.shape[:2]
     res = PageResult(width=w, height=h)
     mask = binarize(rgba)
-    comps = label_components(mask)
-    keep = comps.area >= MIN_COMPONENT_AREA
-    if not keep.all():
-        from tesseract_wasm_spark.engine.components import Components  # noqa: PLC0415
+    comps = _despeckle(label_components(mask))
 
-        comps = Components(
-            comps.left[keep], comps.top[keep], comps.right[keep],
-            comps.bottom[keep], comps.area[keep],
-        )
+    # P3 deskew — detect AND APPLY, as the reference does during layout
+    # analysis (patches/tesseract.diff:118-119 GetDeskewVectors): a sheared
+    # scan is straightened before segmentation so line banding and the
+    # baseline-anchored recognizer see an upright page. k = 0 on clean pages
+    # (deterministic tie-break + score margin), so the common path pays only
+    # the detection scan.
+    from tesseract_wasm_spark.engine.deskew import detect_shear_per_mille, unshear  # noqa: PLC0415
+
+    k = detect_shear_per_mille(comps)
+    if k != 0:
+        mask = unshear(mask, k)
+        comps = _despeckle(label_components(mask))
+    res.skew_degrees = float(np.degrees(np.arctan(k / 1000.0)))
+
     lines = segment(comps)
 
     # layout-only boxes (P4): available without recognition; empty page -> 0
@@ -110,7 +129,6 @@ def process_rgba(
 
     if with_orientation:
         res.rotation, res.orient_confidence = detect_orientation(mask, lines)
-        res.skew_degrees = estimate_skew_degrees(comps, lines)
 
     if not with_text:
         return res

@@ -104,6 +104,13 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
         add(f"rot-{rot}", render_page_drf(SMALL_PAGE_LINES, rot=rot), "", 5 + rot // 90)
     add("bad-buffer", drf.encode_raw_invalid(100, 100, b"0123456789"), "", 9)
     add("zero-dim", drf.encode_raw_invalid(0, 100, b""), "", 10)
+    # skewed scans (~1-3 degrees) — the deskew-application fixtures (engine
+    # must straighten before segmentation, reference patches/tesseract.diff:
+    # 118-119); ground truth text identical to the upright render
+    for j, k in enumerate((17, -33, 52)):
+        name = f"skew-{'p' if k > 0 else 'm'}{abs(k)}"
+        add(name, render_page_drf(SMALL_PAGE_LINES, skew_per_mille=k),
+            expected_text(SMALL_PAGE_LINES), 100 + j)
 
     for i in range(n_corpus_pages):
         # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew

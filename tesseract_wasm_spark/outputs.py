@@ -191,15 +191,20 @@ def hocr_df(results: DataFrame) -> DataFrame:
     # per-line typography attrs from real geometry (reference emits the same
     # attrs from Tesseract's line fit — golden snippet test/ocr-engine-test.js:
     # 296-307): baseline = (slope, offset from bbox bottom), x_size = line
-    # height, x_descenders/x_ascenders relative to baseline/x-height
+    # height, x_descenders/x_ascenders relative to baseline/x-height.
+    # The slope is the page's measured physical skew (tan of the deskew
+    # angle): boxes are reported in deskewed coordinates, so the slope records
+    # where the baseline ran in the original scan — 0 on upright pages.
+    slope = F.round(F.tan(F.radians(F.col("skew_degrees"))), 4).cast("string")
     line_open = F.format_string(
         "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; "
-        "baseline 0 %d; x_size %d; x_descenders %d; x_ascenders %d\">",
+        "baseline %s %d; x_size %d; x_descenders %d; x_ascenders %d\">",
         F.col("line_id") + 1,
         "left",
         "top",
         F.col("right") + 1,
         F.col("bottom") + 1,
+        slope,
         F.col("baseline") - F.col("bottom"),  # <= 0, offset from bbox bottom
         F.col("bottom") - F.col("top") + 1,
         F.col("bottom") - F.col("baseline"),
@@ -210,7 +215,8 @@ def hocr_df(results: DataFrame) -> DataFrame:
     )
     line_block = F.concat_ws("\n", line_open, F.col("word_spans"), F.lit("     </span>"))
     per_line = (
-        lines.join(words_per_line, ["url", "line_id"])
+        lines.join(results.select("url", "skew_degrees"), "url")
+        .join(words_per_line, ["url", "line_id"])
         .withColumn("_line_block", line_block)
         .groupBy("url")
         .agg(

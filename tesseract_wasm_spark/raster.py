@@ -26,12 +26,16 @@ INK = 20  # ink gray level
 PAPER = 245  # paper gray level
 
 
-def render_page(lines: list[str], *, rot: int = 0, channels: int = 4) -> np.ndarray:
+def render_page(lines: list[str], *, rot: int = 0, channels: int = 4,
+                skew_per_mille: int = 0) -> np.ndarray:
     """Render text lines to uint8[H, W, channels] (4 = RGBA like the
     reference's ImageData input, 1 = grayscale — the at-scale storage format).
     ``rot`` in {0,90,180,270} rotates the page content clockwise (mirrors the
     reference's metamorphic orientation test, test/ocr-engine-test.js:340-352,
-    which rotates the fixture with sharp before calling getOrientation)."""
+    which rotates the fixture with sharp before calling getOrientation).
+    ``skew_per_mille`` shears the page by k/1000 rise-per-pixel (~0.057° per
+    unit): column x shifts down by round(x*k/1000) — the small-rotation model
+    the engine's deskew stage (engine/deskew.py) must invert."""
     table = glyph_table()
     n_cols = max((len(ln) for ln in lines), default=0)
     w = 2 * MARGIN + max(1, n_cols * ADV)
@@ -46,6 +50,8 @@ def render_page(lines: list[str], *, rot: int = 0, channels: int = 4) -> np.ndar
             cell = table[ch]
             block = img[top : top + CELL_H, x : x + CELL_W]
             block[cell] = INK
+    if skew_per_mille:
+        img = _shear(img, skew_per_mille)
     if rot:
         img = np.rot90(img, k=(-rot // 90) % 4)  # numpy rot90 is CCW; rot is CW
     if channels == 1:
@@ -56,9 +62,24 @@ def render_page(lines: list[str], *, rot: int = 0, channels: int = 4) -> np.ndar
     return rgba
 
 
-def render_page_drf(lines: list[str], *, rot: int = 0, channels: int = 1) -> bytes:
+def _shear(img: np.ndarray, k: int) -> np.ndarray:
+    """Vertical shear: column x shifts down by round(x*k/1000); the canvas
+    grows to hold the shifted content (paper-filled)."""
+    h, w = img.shape
+    s = np.floor(np.arange(w) * (k / 1000.0) + 0.5).astype(np.int64)
+    s -= s.min()
+    out = np.full((h + int(s.max()), w), PAPER, dtype=np.uint8)
+    rows = np.arange(h)[:, None] + s[None, :]
+    out[rows, np.arange(w)[None, :]] = img
+    return out
+
+
+def render_page_drf(lines: list[str], *, rot: int = 0, channels: int = 1,
+                    skew_per_mille: int = 0) -> bytes:
     """DRF payload for the corpus; grayscale by default (see drf.py note)."""
-    return drf.encode(render_page(lines, rot=rot, channels=channels))
+    return drf.encode(
+        render_page(lines, rot=rot, channels=channels, skew_per_mille=skew_per_mille)
+    )
 
 
 def empty_page(w: int, h: int) -> np.ndarray:
