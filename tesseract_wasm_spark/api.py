@@ -96,6 +96,11 @@ class OCREngine:
 
     def setVariable(self, name: str, value: str) -> None:
         self._variables.set(name, value)
+        # variables change recognition behavior (P11), so memoized results are
+        # stale — the reference likewise applies SetVariable to the live
+        # engine ahead of the next DoOCR (src/lib.cpp:150-170)
+        self._result = None
+        self._layout_result = None
 
     # --- queries ------------------------------------------------------
     def _check_image(self) -> np.ndarray:
@@ -121,7 +126,10 @@ class OCREngine:
             if on_progress:
                 for pct in (0, 50):
                     on_progress(pct)
-            self._result = process_rgba(img, with_text=True, with_orientation=True)
+            self._result = process_rgba(
+                img, with_text=True, with_orientation=True,
+                variables=self._variables.as_dict(),
+            )
         if on_progress:
             on_progress(100)
         return self._result
@@ -133,7 +141,10 @@ class OCREngine:
             # src/ocr-engine.ts:236-239)
             return self._result
         if self._layout_result is None:
-            self._layout_result = process_rgba(img, with_text=False, with_orientation=True)
+            self._layout_result = process_rgba(
+                img, with_text=False, with_orientation=True,
+                variables=self._variables.as_dict(),
+            )
         return self._layout_result
 
     def getBoundingBoxes(self, unit: str) -> list[dict]:

@@ -6,6 +6,14 @@ src/lib.cpp:150-170; src/ocr-engine.ts:128-150; round-trip pinned by
 test/ocr-engine-test.js:131-138 using ``user_defined_dpi``). Our engine keeps
 the same shape: a known-keys registry, string values, exact reference error
 messages on unknown names.
+
+Every variable except ``user_defined_dpi`` is CONSUMED by the engine
+(engine/page.py:process_rgba documents the behavioral effect of each;
+tests/test_config_behavior.py pins them): the whitelist restricts the emit
+alphabet, preserve_interword_spaces keeps measured gaps, and the twspark_*
+knobs parameterize the replacement threshold and orientation margin.
+``user_defined_dpi`` is round-trip-only because the synthetic raster model
+has no physical DPI (the reference test itself only round-trips it).
 """
 
 from __future__ import annotations

@@ -78,8 +78,8 @@ class NumpyLSTM:
         return out
 
 
-@lru_cache(maxsize=1)
-def build_recognizer() -> tuple[NumpyLSTM, np.ndarray, np.ndarray, str]:
+@lru_cache(maxsize=None)
+def build_recognizer(lang: str = "eng") -> tuple[NumpyLSTM, np.ndarray, np.ndarray, str]:
     """Construct (lstm, w_out, b_out, chars).
 
     Hidden layout: 5 blocks of CELL_H units; block 0 mirrors the current
@@ -104,7 +104,7 @@ def build_recognizer() -> tuple[NumpyLSTM, np.ndarray, np.ndarray, str]:
             w_h[(j - 1) * CELL_H + u, g0 + j * CELL_H + u] = BIG / ALPHA * 2
     lstm = NumpyLSTM(w_x, w_h, b)
 
-    templates, chars = template_matrix()  # [G, CELL_H*CELL_W] bool, row-major cells
+    templates, chars = template_matrix(lang)  # [G, CELL_H*CELL_W] bool, row-major cells
     g_count = len(chars)
     # hidden state at time t holds columns [x_t, x_{t-1}, ..., x_{t-4}] =
     # template columns [4, 3, 2, 1, 0]; build W so logit = -ALPHA * hamming
@@ -179,24 +179,35 @@ def ctc_beam_search(log_probs: np.ndarray, blank: int, beam_width: int = 8) -> l
 
 
 def recognize_line_lstm(
-    mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8
+    mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8,
+    whitelist: str | None = None, lang: str = "eng"
 ) -> list[str]:
     """Recognize every word of a segmented line via the LSTM+CTC path.
 
     Returns one string per word (same order as line.words).
     """
     return [t for t, _ in recognize_line_lstm_scored(mask, line, decoder=decoder,
-                                                     beam_width=beam_width)]
+                                                     beam_width=beam_width,
+                                                     whitelist=whitelist, lang=lang)]
 
 
 def recognize_line_lstm_scored(
-    mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8
+    mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8,
+    whitelist: str | None = None, lang: str = "eng"
 ) -> list[tuple[str, float]]:
     """Per word: (text, confidence). Confidence = mean softmax probability of
     the emitted (non-blank) frames — the CTC analog of the reference's
-    per-word percentage confidence (src/lib.cpp:302-304)."""
-    lstm, w_out, b_out, chars = build_recognizer()
+    per-word percentage confidence (src/lib.cpp:302-304). ``whitelist``
+    masks non-whitelisted glyph logits to -inf (tessedit_char_whitelist);
+    ``lang`` selects the glyph model the output layer scores against."""
+    lstm, w_out, b_out, chars = build_recognizer(lang)
     blank = len(chars)
+    if whitelist:
+        allowed = set(whitelist)
+        if any(c in allowed for c in chars):
+            banned = np.array([c not in allowed for c in chars] + [False])
+            b_out = b_out.copy()
+            b_out[banned] = -1e30
     out, all_exact = _decode_line(mask, line, line.baseline, lstm, w_out, b_out,
                                   chars, blank, decoder, beam_width)
     if not all_exact:

@@ -89,13 +89,16 @@ def _center_rows(mask: np.ndarray) -> np.ndarray:
     return mask[mid - MAX_BAND // 2 : mid + MAX_BAND // 2, :]
 
 
-def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None) -> tuple[int, float]:
+def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None,
+                       *, margin: float = DECISION_MARGIN) -> tuple[int, float]:
     """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0}).
 
     ``lines``: the page's already-computed upright segmentation (reused for
     up_conf when the page is small enough to score whole — the reference
     similarly runs OSD on the already-thresholded image, src/lib.cpp:250-261);
-    each axis scores a center band so cost is bounded for large pages."""
+    each axis scores a center band so cost is bounded for large pages.
+    ``margin`` is the up-vs-left decision margin (P11
+    twspark_orientation_margin; reference literal 5.0, src/lib.cpp:280)."""
     if mask.shape[0] <= _CROP_TRIGGER:
         up_conf = updown_score(mask, lines)
     else:
@@ -104,6 +107,6 @@ def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None) -> tup
     left_conf = updown_score(_center_rows(np.rot90(mask, k=1)))
     if max(abs(up_conf), abs(left_conf)) < 1.0:
         return 0, 0.0  # detection failed (reference: src/lib.cpp:264-268)
-    if abs(up_conf) - abs(left_conf) > DECISION_MARGIN:
+    if abs(up_conf) - abs(left_conf) > margin:
         return (0 if up_conf > 0 else 180), 1.0
     return (90 if left_conf > 0 else 270), 1.0

@@ -29,6 +29,7 @@ import numpy as np
 
 from tesseract_wasm_spark import drf
 from tesseract_wasm_spark.engine.components import label_components
+from tesseract_wasm_spark.font import ADV
 from tesseract_wasm_spark.engine.orientation import detect_orientation
 from tesseract_wasm_spark.engine.otsu import binarize
 from tesseract_wasm_spark.engine.recognize import recognize_words
@@ -84,13 +85,15 @@ def _despeckle(comps):
 
 
 def process_page(payload: bytes, *, with_text: bool = True, with_orientation: bool = True,
-                 recognizer: str = "template") -> PageResult:
+                 recognizer: str = "template",
+                 variables: dict[str, str] | None = None,
+                 lang: str = "eng") -> PageResult:
     try:
         rgba = drf.decode(payload)
     except ValueError as exc:
         return PageResult(error=str(exc))
     return process_rgba(rgba, with_text=with_text, with_orientation=with_orientation,
-                        recognizer=recognizer)
+                        recognizer=recognizer, variables=variables, lang=lang)
 
 
 def process_rgba(
@@ -99,7 +102,33 @@ def process_rgba(
     with_text: bool = True,
     with_orientation: bool = True,
     recognizer: str = "template",
+    variables: dict[str, str] | None = None,
+    lang: str = "eng",
 ) -> PageResult:
+    """``variables`` is the P11 parameter store (config.VariableStore
+    contents); the consumed keys and their behavioral effects:
+
+      - ``tessedit_char_whitelist``: restrict the emit alphabet (reference:
+        Tesseract only outputs whitelisted chars; set via setVariable,
+        src/lib.cpp:150-170)
+      - ``preserve_interword_spaces``: "1" keeps the measured inter-word gap
+        as that many spaces instead of normalizing to one (Tesseract's
+        documented effect of the same parameter)
+      - ``twspark_min_partial_overlap``: replacement-char threshold
+      - ``twspark_orientation_margin``: the up-vs-left decision margin
+        (reference default 5.0, src/lib.cpp:280)
+    ``user_defined_dpi`` is stored for round-trip parity but has no pixel
+    meaning for the synthetic raster model."""
+    from tesseract_wasm_spark.font import LANG_CHARSETS  # noqa: PLC0415
+
+    if lang not in LANG_CHARSETS:
+        lang = "eng"  # unknown model key -> the reference's hardcoded default
+    v = variables or {}
+    whitelist = v.get("tessedit_char_whitelist", "") or None
+    preserve_spaces = v.get("preserve_interword_spaces", "0") == "1"
+    min_overlap = float(v.get("twspark_min_partial_overlap", "0.5"))
+    orient_margin = float(v.get("twspark_orientation_margin", "5.0"))
+
     h, w = rgba.shape[:2]
     res = PageResult(width=w, height=h)
     mask = binarize(rgba)
@@ -128,7 +157,9 @@ def process_rgba(
             res.layout_boxes.append((word.left, word.top, word.right, word.bottom, flags))
 
     if with_orientation:
-        res.rotation, res.orient_confidence = detect_orientation(mask, lines)
+        res.rotation, res.orient_confidence = detect_orientation(
+            mask, lines, margin=orient_margin
+        )
 
     if not with_text:
         return res
@@ -143,13 +174,19 @@ def process_rgba(
         # P5 v2 path: LSTM+CTC per line (same downstream WordBox emission)
         from tesseract_wasm_spark.engine.lstm_ctc import recognize_line_lstm_scored  # noqa: PLC0415
 
-        recognized = [recognize_line_lstm_scored(mask, line) for line in lines]
+        recognized = [
+            recognize_line_lstm_scored(mask, line, whitelist=whitelist, lang=lang)
+            for line in lines
+        ]
     else:
-        recognized = recognize_words(mask, lines)
+        recognized = recognize_words(
+            mask, lines, whitelist=whitelist, min_partial_overlap=min_overlap, lang=lang
+        )
     wid = 0
     text_lines: list[str] = []
     for li, line in enumerate(lines):
         word_texts: list[str] = []
+        seps: list[str] = []
         for wi, word in enumerate(line.words):
             text, conf = recognized[li][wi]
             flags = 0
@@ -171,8 +208,22 @@ def process_rgba(
                     baseline=line.baseline,
                 )
             )
+            if wi > 0:
+                if preserve_spaces:
+                    # measured gap in glyph advances between the previous
+                    # word's last cell and this word's pen position
+                    prev = line.words[wi - 1]
+                    a_prev = prev.pen_left if prev.pen_left >= 0 else prev.left
+                    a_cur = word.pen_left if word.pen_left >= 0 else word.left
+                    gap = round((a_cur - a_prev) / ADV) - len(word_texts[-1])
+                    seps.append(" " * max(1, gap))
+                else:
+                    seps.append(" ")
             word_texts.append(text)
             wid += 1
-        text_lines.append(" ".join(word_texts) + "\n")
+        parts = [word_texts[0]] if word_texts else []
+        for sep, txt in zip(seps, word_texts[1:]):
+            parts.extend((sep, txt))
+        text_lines.append("".join(parts) + "\n")
     res.page_text = "".join(text_lines)
     return res

@@ -36,16 +36,33 @@ from tesseract_wasm_spark.font import (
 
 MIN_PARTIAL_OVERLAP = 0.5
 
-_F32_CACHE: dict[str, tuple] = {}
+_F32_CACHE: dict[tuple, tuple] = {}
 
 
-def _templates_f32():
+def _filtered_templates(whitelist: str | None, lang: str = "eng"):
+    """(templates, chars) for the language model, restricted to a whitelist
+    (P11: the behavioral effect of ``tessedit_char_whitelist`` — Tesseract
+    only ever emits whitelisted characters; reference exposes the variable
+    through setVariable, src/lib.cpp:150-170). Empty/None = unrestricted; a
+    whitelist that matches no font glyph falls back to unrestricted."""
+    templates, chars = template_matrix(lang)
+    if not whitelist:
+        return templates, chars
+    allowed = set(whitelist)
+    idx = [i for i, c in enumerate(chars) if c in allowed]
+    if not idx:
+        return templates, chars
+    return templates[idx], "".join(chars[i] for i in idx)
+
+
+def _templates_f32(whitelist: str | None = None, lang: str = "eng"):
     """Cached float32 template matrix + ink sums (avoid per-page astype)."""
-    if "t" not in _F32_CACHE:
-        templates, chars = template_matrix()
+    key = ("t", whitelist or "", lang)
+    if key not in _F32_CACHE:
+        templates, chars = _filtered_templates(whitelist, lang)
         t = templates.astype(np.float32)
-        _F32_CACHE["t"] = (t, t.sum(axis=1), np.frombuffer(chars.encode("latin-1"), dtype=np.uint8))
-    return _F32_CACHE["t"]
+        _F32_CACHE[key] = (t, t.sum(axis=1), np.frombuffer(chars.encode("latin-1"), dtype=np.uint8))
+    return _F32_CACHE[key]
 
 
 def _pack_keys(bits: np.ndarray) -> np.ndarray:
@@ -57,19 +74,20 @@ def _pack_keys(bits: np.ndarray) -> np.ndarray:
     return out.view(">u8")[:, 0]
 
 
-def _template_keys():
+def _template_keys(whitelist: str | None = None, lang: str = "eng"):
     """Cached (sorted template keys, chars in key order) for the exact-match
     fast path: recognizing a clean page is one packbits + one searchsorted,
     no dense matmul (the analog of the reference's beam-search early exit)."""
-    if "k" not in _F32_CACHE:
-        templates, chars = template_matrix()
+    key = ("k", whitelist or "", lang)
+    if key not in _F32_CACHE:
+        templates, chars = _filtered_templates(whitelist, lang)
         keys = _pack_keys(templates)
         order = np.argsort(keys)
-        _F32_CACHE["k"] = (
+        _F32_CACHE[key] = (
             keys[order],
             np.frombuffer(chars.encode("latin-1"), dtype=np.uint8)[order],
         )
-    return _F32_CACHE["k"]
+    return _F32_CACHE[key]
 
 
 def _extract_cells(mask: np.ndarray, lines: list[Line]) -> tuple[np.ndarray, list[tuple[int, int, int]]]:
@@ -116,15 +134,25 @@ def _extract_cells(mask: np.ndarray, lines: list[Line]) -> tuple[np.ndarray, lis
     return np.concatenate(blocks), index
 
 
-def recognize_words(mask: np.ndarray, lines: list[Line]) -> list[list[tuple[str, float]]]:
-    """Per line, per word: (text, confidence). Batched over the whole page."""
+def recognize_words(mask: np.ndarray, lines: list[Line], *,
+                    whitelist: str | None = None,
+                    min_partial_overlap: float = MIN_PARTIAL_OVERLAP,
+                    lang: str = "eng",
+                    ) -> list[list[tuple[str, float]]]:
+    """Per line, per word: (text, confidence). Batched over the whole page.
+
+    ``whitelist`` restricts the emit alphabet (tessedit_char_whitelist);
+    ``min_partial_overlap`` is the replacement-char threshold
+    (twspark_min_partial_overlap); ``lang`` selects the glyph model (S4 —
+    the reference hardcodes "eng", src/lib.cpp:138; the Spark pipeline
+    dispatches per row)."""
     cells_bool, index = _extract_cells(mask, lines)
     results: list[list[tuple[str, float]]] = [[] for _ in lines]
     if len(index) == 0:
         return results
 
     # fast path: bitpacked exact match (covers every cell on clean pages)
-    tkeys, tchars = _template_keys()
+    tkeys, tchars = _template_keys(whitelist, lang)
     keys = _pack_keys(cells_bool)
     pos = np.searchsorted(tkeys, keys)
     pos_c = np.minimum(pos, len(tkeys) - 1)
@@ -138,7 +166,7 @@ def recognize_words(mask: np.ndarray, lines: list[Line]) -> list[list[tuple[str,
     if miss.size:
         # slow path (garbage/degraded cells only): nearest template by
         # Hamming distance via one small matmul, Jaccard confidence
-        t, tmpl_ink, chars_bytes = _templates_f32()  # [G, P]
+        t, tmpl_ink, chars_bytes = _templates_f32(whitelist, lang)  # [G, P]
         sub = cells_bool[miss].astype(np.float32)
         inter = sub @ t.T  # [M, G]
         cell_ink = sub.sum(axis=1)
@@ -150,7 +178,7 @@ def recognize_words(mask: np.ndarray, lines: list[Line]) -> list[list[tuple[str,
         no_ink = cell_ink == 0
         conf[miss] = np.where(no_ink, 0.0, jacc)
         chars_arr[miss] = chars_bytes[best]
-        use_repl[miss] = no_ink | (jacc < MIN_PARTIAL_OVERLAP)
+        use_repl[miss] = no_ink | (jacc < min_partial_overlap)
 
     # bulk decode: slice one latin-1 string per word; per-word confidence via
     # segmented reduceat (no per-cell Python in the common all-exact case)

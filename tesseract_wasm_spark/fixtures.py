@@ -59,6 +59,19 @@ SMALL_PAGE_LINES = [
 ]
 
 
+DEU_PAGE_LINES = [
+    [
+        "Die Qualität der Zeichenerkennung hängt von der Schwelle ab",
+        "Zwölf Boxkämpfer jagen Viktor quer über den großen Sylter",
+        "Deich während die Vermessung der Grundlinien fortschreitet",
+    ],
+    [
+        "Übermäßige Verzerrung führt zu schlechterer Erkennung",
+        "die Prüfung erfolgt zeilenweise mit äußerster Sorgfalt",
+    ],
+]
+
+
 def _seeded_lines(rng: np.random.Generator, n_lines: int, max_cols: int = 60) -> list[str]:
     lines = []
     for _ in range(n_lines):
@@ -111,6 +124,12 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
         name = f"skew-{'p' if k > 0 else 'm'}{abs(k)}"
         add(name, render_page_drf(SMALL_PAGE_LINES, skew_per_mille=k),
             expected_text(SMALL_PAGE_LINES), 100 + j)
+    # German pages: the lang-keyed model dispatch fixtures (S4 — the Spark
+    # pipeline selects the glyph model per row's lang column; umlauts/eszett
+    # only exist in the "deu" charset)
+    for j, lines in enumerate(DEU_PAGE_LINES):
+        add(f"deu-{j}", render_page_drf(lines, lang="deu"),
+            expected_text(lines), 110 + j, lang="deu")
 
     for i in range(n_corpus_pages):
         # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew

@@ -43,11 +43,22 @@ ASC_TOP = 0
 XHEIGHT_TOP = 3
 DESC_BOTTOM = CELL_H - 1
 
-_LOWER_ASC = set("bdfhklt")
+_LOWER_ASC = set("bdfhkltß")  # ß has a b-like ascender
 _LOWER_DESC = set("gjpqy")
+_UMLAUT_LOWER = set("äöü")  # diaeresis reaches the ascender band
 
 #: Characters the font (and therefore the recognizer) supports.
 PRINTABLE = "".join(chr(c) for c in range(32, 127))
+
+#: Per-language character sets — the S4 model axis (SURVEY §2.1: the
+#: reference hardcodes "eng", src/lib.cpp:138; the Spark pipeline dispatches
+#: the model by each row's ``lang`` column). All charsets stay within
+#: latin-1 so the recognizer's uint8 decode path holds.
+LANG_CHARSETS: dict[str, str] = {
+    "eng": PRINTABLE,
+    "deu": PRINTABLE + "äöüÄÖÜß",
+}
+DEFAULT_LANG = "eng"
 
 #: Emitted for an observed glyph cell that matches no template (can only
 #: happen on non-font input such as rotated pages); mirrors Unicode U+FFFD.
@@ -61,7 +72,7 @@ def _class_range(ch: str) -> tuple[int, int]:
     if ch.islower():
         if ch in _LOWER_DESC:
             return XHEIGHT_TOP, DESC_BOTTOM
-        if ch in _LOWER_ASC:
+        if ch in _LOWER_ASC or ch in _UMLAUT_LOWER:
             return ASC_TOP, BASELINE_ROW
         return XHEIGHT_TOP, BASELINE_ROW
     # punctuation / symbols: full ascender range keeps them visually distinct
@@ -113,19 +124,22 @@ def _shifted(cell: np.ndarray, dy: int) -> np.ndarray:
     return out
 
 
-@lru_cache(maxsize=1)
-def glyph_table() -> dict[str, np.ndarray]:
-    """char -> CELL_H x CELL_W bool ink bitmap.
+@lru_cache(maxsize=None)
+def glyph_table(lang: str = DEFAULT_LANG) -> dict[str, np.ndarray]:
+    """char -> CELL_H x CELL_W bool ink bitmap for the given language model.
 
     Uniqueness is enforced not just in place but under vertical shifts of
     +-DESC rows (3): an all-descender line offers no non-descender bottoms to
     anchor the baseline, so its glyphs may be matched 3 rows off — shift
     uniqueness guarantees such a misalignment can never silently match the
-    wrong template (the recognizer then retries the corrected baseline)."""
+    wrong template (the recognizer then retries the corrected baseline).
+    The ASCII subset is shared across languages (same salt-0-first growth
+    order), so 'deu' extends 'eng' with umlaut/eszett glyphs that are unique
+    against the full extended set."""
     desc = DESC_BOTTOM - BASELINE_ROW
     table: dict[str, np.ndarray] = {}
     seen: set[bytes] = set()
-    for ch in PRINTABLE:
+    for ch in LANG_CHARSETS[lang]:
         if ch == " ":
             continue
         salt = 0
@@ -140,20 +154,20 @@ def glyph_table() -> dict[str, np.ndarray]:
     return table
 
 
-@lru_cache(maxsize=1)
-def template_matrix() -> tuple[np.ndarray, str]:
+@lru_cache(maxsize=None)
+def template_matrix(lang: str = DEFAULT_LANG) -> tuple[np.ndarray, str]:
     """(T, chars): T is [n_glyphs, CELL_H*CELL_W] bool, row i = chars[i].
 
     Used by the recognizer for batched exact/nearest matching via matmul.
     """
-    table = glyph_table()
+    table = glyph_table(lang)
     chars = "".join(table.keys())
     mat = np.stack([table[c].reshape(-1) for c in chars])
     return mat, chars
 
 
-def glyph_ink_width(ch: str) -> int:
+def glyph_ink_width(ch: str, lang: str = DEFAULT_LANG) -> int:
     """Rightmost ink column + 1 (used to compute word ink widths in tests)."""
-    cell = glyph_table()[ch]
+    cell = glyph_table(lang)[ch]
     cols = np.flatnonzero(cell.any(axis=0))
     return int(cols[-1]) + 1 if cols.size else 0

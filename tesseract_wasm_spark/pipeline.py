@@ -106,6 +106,7 @@ def ocr_pages(
     rebalance: bool = True,
     rebalance_strategy: str = "salt",
     num_partitions: int | None = None,
+    variables: dict[str, str] | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text?, lang?) -> one result row per url.
 
@@ -113,7 +114,19 @@ def ocr_pages(
     (getBoundingBoxes with no model — src/lib.cpp:197-203): recognition is
     skipped entirely, the moral equivalent of column pruning through an
     opaque UDF (SURVEY.md §4 O3).
+
+    ``variables`` is the validated P11 parameter store (config.VariableStore
+    — whitelist, interword-space preservation, engine knobs); values are
+    validated on the driver and captured by the task closure, the distributed
+    analog of the reference's per-engine setVariable (src/lib.cpp:150-170).
     """
+    if variables is not None:
+        from tesseract_wasm_spark.config import VariableStore  # noqa: PLC0415
+
+        store = VariableStore()
+        for name, value in variables.items():
+            store.set(name, value)  # raises with reference message on unknown
+        variables = store.as_dict()
     cols = ["url", "html"] + (["lang"] if "lang" in pages.columns else [])
     src = pages.select(*cols)  # column pruning before the shuffle: never move text/warc_ts
     if "lang" not in pages.columns:
@@ -136,6 +149,7 @@ def ocr_pages(
                 res = process_page(
                     bytes(payload), with_text=with_text,
                     with_orientation=with_orientation, recognizer=recognizer,
+                    variables=variables, lang=lang,
                 )
                 # layout_boxes duplicate the words' rects on a full OCR run
                 # (the reference returns OCR boxes from getBoundingBoxes once

@@ -27,7 +27,7 @@ PAPER = 245  # paper gray level
 
 
 def render_page(lines: list[str], *, rot: int = 0, channels: int = 4,
-                skew_per_mille: int = 0) -> np.ndarray:
+                skew_per_mille: int = 0, lang: str = "eng") -> np.ndarray:
     """Render text lines to uint8[H, W, channels] (4 = RGBA like the
     reference's ImageData input, 1 = grayscale — the at-scale storage format).
     ``rot`` in {0,90,180,270} rotates the page content clockwise (mirrors the
@@ -36,7 +36,7 @@ def render_page(lines: list[str], *, rot: int = 0, channels: int = 4,
     ``skew_per_mille`` shears the page by k/1000 rise-per-pixel (~0.057° per
     unit): column x shifts down by round(x*k/1000) — the small-rotation model
     the engine's deskew stage (engine/deskew.py) must invert."""
-    table = glyph_table()
+    table = glyph_table(lang)
     n_cols = max((len(ln) for ln in lines), default=0)
     w = 2 * MARGIN + max(1, n_cols * ADV)
     h = 2 * MARGIN + max(1, len(lines) * LINE_PITCH - LINE_GAP)
@@ -75,10 +75,11 @@ def _shear(img: np.ndarray, k: int) -> np.ndarray:
 
 
 def render_page_drf(lines: list[str], *, rot: int = 0, channels: int = 1,
-                    skew_per_mille: int = 0) -> bytes:
+                    skew_per_mille: int = 0, lang: str = "eng") -> bytes:
     """DRF payload for the corpus; grayscale by default (see drf.py note)."""
     return drf.encode(
-        render_page(lines, rot=rot, channels=channels, skew_per_mille=skew_per_mille)
+        render_page(lines, rot=rot, channels=channels,
+                    skew_per_mille=skew_per_mille, lang=lang)
     )
 
 
