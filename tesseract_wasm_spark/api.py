@@ -265,9 +265,9 @@ def _render_hocr_local(res: PageResult) -> str:
     import math  # noqa: PLC0415
 
     slope = repr(round(math.tan(math.radians(res.skew_degrees)), 4))
-    blocks = []
-    for li in sorted(lines):
-        ws = sorted(lines[li], key=lambda w: w.word_id)
+
+    def render_line(li: int, ws: list[WordBox]) -> str:
+        ws = sorted(ws, key=lambda w: w.word_id)
         l, t = min(w.left for w in ws), min(w.top for w in ws)
         r, b = max(w.right for w in ws), max(w.bottom for w in ws)
         baseline = ws[0].baseline
@@ -276,7 +276,7 @@ def _render_hocr_local(res: PageResult) -> str:
             % (w.word_id + 1, w.left, w.top, w.right + 1, w.bottom + 1, round(w.confidence * 100), _esc(w.text))
             for w in ws
         )
-        blocks.append(
+        return (
             "     <span class='ocr_line' id='line_1_%d' title=\"bbox %d %d %d %d; baseline %s %d; "
             "x_size %d; x_descenders %d; x_ascenders %d\">\n%s\n     </span>"
             % (
@@ -289,15 +289,29 @@ def _render_hocr_local(res: PageResult) -> str:
                 spans,
             )
         )
-    all_w = [w for ws in lines.values() for w in ws]
-    l, t = min(w.left for w in all_w), min(w.top for w in all_w)
-    r, b = max(w.right for w in all_w) + 1, max(w.bottom for w in all_w) + 1
+
+    # lines -> careas (one ocr_carea/ocr_par per block, reference FindBlocks
+    # structure) -> page div; same shape as outputs.hocr_df (tested equal)
+    by_block: dict[int, dict[int, list[WordBox]]] = {}
+    for li, ws in lines.items():
+        by_block.setdefault(ws[0].block_id, {})[li] = ws
+    block_divs = []
+    for bi in sorted(by_block):
+        blines = by_block[bi]
+        all_w = [w for ws in blines.values() for w in ws]
+        l, t = min(w.left for w in all_w), min(w.top for w in all_w)
+        r, b = max(w.right for w in all_w) + 1, max(w.bottom for w in all_w) + 1
+        lines_html = "\n".join(render_line(li, blines[li]) for li in sorted(blines))
+        block_divs.append(
+            f"   <div class='ocr_carea' id='block_1_{bi + 1}' title=\"bbox {l} {t} {r} {b}\">\n"
+            f"    <p class='ocr_par' id='par_1_{bi + 1}' title=\"bbox {l} {t} {r} {b}\">\n"
+            + lines_html
+            + "\n    </p>\n   </div>"
+        )
     page = (
         f"  <div class='ocr_page' id='page_1' title='bbox 0 0 {res.width} {res.height}'>\n"
-        f"   <div class='ocr_carea' id='block_1_1' title=\"bbox {l} {t} {r} {b}\">\n"
-        f"    <p class='ocr_par' id='par_1_1' title=\"bbox {l} {t} {r} {b}\">\n"
-        + "\n".join(blocks)
-        + "\n    </p>\n   </div>\n  </div>"
+        + "\n".join(block_divs)
+        + "\n  </div>"
     )
     return _HOCR_HEADER + page + "\n" + _HOCR_FOOTER
 

@@ -57,6 +57,7 @@ class WordBox:
     confidence: float
     text: str
     baseline: int
+    block_id: int = 0  # carea index (reference FindBlocks analog)
 
 
 @dataclass
@@ -148,7 +149,26 @@ def process_rgba(
         comps = _despeckle(label_components(mask))
     res.skew_degrees = float(np.degrees(np.arctan(k / 1000.0)))
 
-    lines = segment(comps)
+    # multi-column block layout (reference FindBlocks during AnalyseLayout,
+    # patches/tesseract.diff:107-151): a full-height gutter splits the page
+    # into careas; reading order = blocks left-to-right, lines top-to-bottom
+    # within a block. A split where any side has < 2 lines is rejected as
+    # degenerate (a wide in-line gap is not a column boundary).
+    from tesseract_wasm_spark.engine.segment import find_blocks, subset  # noqa: PLC0415
+
+    block_idx = find_blocks(comps)
+    lines = []
+    line_block: list[int] = []
+    if len(block_idx) > 1:
+        seg_blocks = [segment(subset(comps, idx)) for idx in block_idx]
+        if any(len(ls) < 2 for ls in seg_blocks):
+            seg_blocks = [segment(comps)]
+    else:
+        seg_blocks = [segment(comps)]
+    for b, ls in enumerate(seg_blocks):
+        for line in ls:
+            lines.append(line)
+            line_block.append(b)
 
     # layout-only boxes (P4): available without recognition; empty page -> 0
     for line in lines:
@@ -166,7 +186,7 @@ def process_rgba(
 
     if not lines:
         # reference quirk: single all-zero, empty-text box for an empty image
-        res.words.append(WordBox(0, 0, 0, 0, 0, 0, START_OF_LINE | END_OF_LINE, 0.0, "", 0))
+        res.words.append(WordBox(0, 0, 0, 0, 0, 0, START_OF_LINE | END_OF_LINE, 0.0, "", 0, 0))
         res.page_text = ""
         return res
 
@@ -206,6 +226,7 @@ def process_rgba(
                     confidence=conf,
                     text=text,
                     baseline=line.baseline,
+                    block_id=line_block[li],
                 )
             )
             if wi > 0:

@@ -115,6 +115,52 @@ def estimate_skew_degrees(comps: Components, lines: list[Line]) -> float:
     return float(np.degrees(np.arctan(num / den)))
 
 
+#: minimum blank-column run that counts as a column gutter: wider than any
+#: intra-line word gap the renderer can produce with <=2 consecutive spaces
+#: (max ~17px), so single-column text never splits spuriously
+MIN_GUTTER = 3 * ADV
+
+
+def find_blocks(comps: Components, *, min_gutter: int = MIN_GUTTER) -> list[np.ndarray]:
+    """Column-block detection — the analog of the reference's FindBlocks
+    (patches/tesseract.diff:107-151, Tesseract's ColumnFinder): a full-height
+    blank vertical band of >= min_gutter columns splits the page into careas.
+
+    Returns a list of component index arrays, one per block, ordered left to
+    right; a single-block page returns one array with every index. The caller
+    is expected to reject degenerate splits (a real column has >= 2 lines) —
+    see page.process_rgba."""
+    if comps.n == 0:
+        return []
+    w = int(comps.right.max()) + 2
+    cover = np.zeros(w + 1, dtype=np.int64)
+    np.add.at(cover, comps.left, 1)
+    np.add.at(cover, comps.right + 1, -1)
+    occupied = np.cumsum(cover)[:-1] > 0
+    occ_idx = np.flatnonzero(occupied)
+    lo, hi = int(occ_idx[0]), int(occ_idx[-1])
+    # blank runs strictly inside the content span
+    inside = ~occupied[lo : hi + 1]
+    if not inside.any():
+        return [np.arange(comps.n)]
+    d = np.diff(inside.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    cuts = [lo + (s + e) // 2 for s, e in zip(starts, ends) if e - s >= min_gutter]
+    if not cuts:
+        return [np.arange(comps.n)]
+    xc = (comps.left + comps.right) // 2
+    block_of = np.searchsorted(np.asarray(cuts), xc, side="left")
+    return [np.flatnonzero(block_of == b) for b in range(len(cuts) + 1)]
+
+
+def subset(comps: Components, idx: np.ndarray) -> Components:
+    return Components(
+        comps.left[idx], comps.top[idx], comps.right[idx],
+        comps.bottom[idx], comps.area[idx],
+    )
+
+
 def segment(comps: Components) -> list[Line]:
     if comps.n == 0:
         return []

@@ -72,6 +72,23 @@ DEU_PAGE_LINES = [
 ]
 
 
+TWO_COL_LINES = [
+    [
+        "the quick brown fox",
+        "jumps over the lazy",
+        "dog near the river",
+        "bank this morning",
+        "before first light",
+    ],
+    [
+        "image extraction on",
+        "a large spark fleet",
+        "needs careful block",
+        "reading order",
+    ],
+]
+
+
 def _seeded_lines(rng: np.random.Generator, n_lines: int, max_cols: int = 60) -> list[str]:
     lines = []
     for _ in range(n_lines):
@@ -130,6 +147,13 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
     for j, lines in enumerate(DEU_PAGE_LINES):
         add(f"deu-{j}", render_page_drf(lines, lang="deu"),
             expected_text(lines), 110 + j, lang="deu")
+    # two-column page: the FindBlocks fixture (reference emits real
+    # carea/par structure, patches/tesseract.diff:107-151); reading order is
+    # left column top-to-bottom, then right column
+    from tesseract_wasm_spark.raster import render_columns_drf  # noqa: PLC0415
+
+    add("two-col", render_columns_drf(TWO_COL_LINES),
+        expected_text(TWO_COL_LINES[0] + TWO_COL_LINES[1]), 120)
 
     for i in range(n_corpus_pages):
         # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew

@@ -95,6 +95,7 @@ def lines_df(words: DataFrame) -> DataFrame:
             F.max("right").alias("right"),
             F.max("bottom").alias("bottom"),
             F.first("baseline").alias("baseline"),
+            F.first("block_id").alias("block_id"),
             F.count("*").alias("n_words"),
             ordered.alias("_ws"),
         )
@@ -214,11 +215,14 @@ def hocr_df(results: DataFrame) -> DataFrame:
         ),
     )
     line_block = F.concat_ws("\n", line_open, F.col("word_spans"), F.lit("     </span>"))
-    per_line = (
+    # lines roll up into careas (one ocr_carea/ocr_par per detected block —
+    # reference FindBlocks structure, patches/tesseract.diff:107-151), blocks
+    # into the page div
+    per_block = (
         lines.join(results.select("url", "skew_degrees"), "url")
         .join(words_per_line, ["url", "line_id"])
         .withColumn("_line_block", line_block)
-        .groupBy("url")
+        .groupBy("url", "block_id")
         .agg(
             F.array_join(
                 F.transform(
@@ -233,23 +237,41 @@ def hocr_df(results: DataFrame) -> DataFrame:
             F.max("bottom").alias("_b"),
         )
     )
-    pages = results.filter(F.col("error").isNull()).select("url", "width", "height")
-    page_html = F.format_string(
-        "  <div class='ocr_page' id='page_1' title='bbox 0 0 %d %d'>\n"
-        "   <div class='ocr_carea' id='block_1_1' title=\"bbox %d %d %d %d\">\n"
-        "    <p class='ocr_par' id='par_1_1' title=\"bbox %d %d %d %d\">\n%s\n"
-        "    </p>\n   </div>\n  </div>",
-        "width",
-        "height",
+    block_html = F.format_string(
+        "   <div class='ocr_carea' id='block_1_%d' title=\"bbox %d %d %d %d\">\n"
+        "    <p class='ocr_par' id='par_1_%d' title=\"bbox %d %d %d %d\">\n%s\n"
+        "    </p>\n   </div>",
+        F.col("block_id") + 1,
         "_l",
         "_t",
         F.col("_r") + 1,
         F.col("_b") + 1,
+        F.col("block_id") + 1,
         "_l",
         "_t",
         F.col("_r") + 1,
         F.col("_b") + 1,
         "lines_html",
+    )
+    per_page = (
+        per_block.withColumn("_block_html", block_html)
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_id", "_block_html"))),
+                    lambda s: s["_block_html"],
+                ),
+                "\n",
+            ).alias("blocks_html")
+        )
+    )
+    pages = results.filter(F.col("error").isNull()).select("url", "width", "height")
+    page_html = F.format_string(
+        "  <div class='ocr_page' id='page_1' title='bbox 0 0 %d %d'>\n%s\n  </div>",
+        "width",
+        "height",
+        "blocks_html",
     )
     # a page with zero recognized words still yields a valid hOCR document
     # (header + bare ocr_page div) — same as OCREngine.getHOCR on an empty
@@ -259,9 +281,9 @@ def hocr_df(results: DataFrame) -> DataFrame:
         "width",
         "height",
     )
-    body = F.when(F.col("lines_html").isNull(), empty_page_html).otherwise(page_html)
+    body = F.when(F.col("blocks_html").isNull(), empty_page_html).otherwise(page_html)
     return (
-        pages.join(per_line, "url", "left")
+        pages.join(per_page, "url", "left")
         .select(
             "url",
             F.concat(F.lit(_HOCR_HEADER), body, F.lit("\n"), F.lit(_HOCR_FOOTER)).alias("hocr"),

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 
 WORD_FIELDS = (
     "word_id int, line_id int, left int, top int, right int, bottom int, "
-    "flags int, confidence double, text string, baseline int"
+    "flags int, confidence double, text string, baseline int, block_id int"
 )
 LAYOUT_FIELDS = "left int, top int, right int, bottom int, flags int"
 

@@ -557,8 +557,28 @@ SQL_TEXT_FINGERPRINT = (
 
 
 # ---------------------------------------------------------------- OCR engine
-# (not SQL-expressible -> rows-only driver checks; byte-identity gated by
-#  pytest goldens in tests/)
+#
+# The engine itself is not SQL-expressible, so these entries are gated by
+# GOLDEN-PARQUET oracles: tools/make_goldens.py runs the deterministic fixture
+# corpus through the engine once and commits the outputs under
+# tests/golden/oracle/; the DuckDB oracle then reads the golden and (where the
+# output is a derivation, e.g. the word->line rollup) re-derives it in SQL.
+# A hash match therefore asserts byte-identity of the live engine against the
+# committed snapshot — the driver-visible form of the pytest golden gate.
+# Entries over sf-dependent tables (dedup_simhash, ann_ivf, sim_srp_pairs,
+# text_rolling_fp) commit goldens generated at sf0.01, the driver's gate SF.
+
+import os as _os  # noqa: E402
+
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests", "golden", "oracle",
+)
+
+
+def _golden(name: str) -> str:
+    return _os.path.join(_GOLDEN_DIR, f"{name}.parquet").replace("'", "''")
+
 
 _FIXTURE_PAGES = 16
 
@@ -576,16 +596,55 @@ def ocr_text(spark, sf_dir):
     return page_text_df(_fixture_results(spark))
 
 
+SQL_OCR_TEXT = f"SELECT url, text_out FROM read_parquet('{_golden('ocr_text')}')"
+
+
 def ocr_words(spark, sf_dir):
     from tesseract_wasm_spark.outputs import words_df  # noqa: PLC0415
 
     return words_df(_fixture_results(spark))
 
 
-def ocr_lines(spark, sf_dir):
-    from tesseract_wasm_spark.outputs import lines_df, words_df  # noqa: PLC0415
+SQL_OCR_WORDS = f"SELECT * FROM read_parquet('{_golden('ocr_words')}')"
 
-    return lines_df(words_df(_fixture_results(spark)))
+
+def ocr_lines(spark, sf_dir):
+    """Word -> line rollup (Q9) in oracle-comparable form: the Spark side
+    rolls up the LIVE engine's words; the DuckDB oracle re-derives the same
+    rollup in SQL from the committed golden words table — a genuine dual
+    derivation, not a snapshot echo. (outputs.lines_df stays the API surface;
+    this entry uses the decimal-sum mean so float ordering can't differ.)"""
+    from tesseract_wasm_spark.outputs import words_df  # noqa: PLC0415
+
+    w = words_df(_fixture_results(spark)).filter(F.col("text") != "")
+    ordered = F.array_sort(F.collect_list(F.struct("word_id", "text")))
+    return w.groupBy("url", "line_id").agg(
+        F.min("left").alias("left"),
+        F.min("top").alias("top"),
+        F.max("right").alias("right"),
+        F.max("bottom").alias("bottom"),
+        F.min("baseline").alias("baseline"),
+        F.min("block_id").alias("block_id"),
+        F.count("*").alias("n_words"),
+        F.round(_dec_sum(F.col("confidence")) / F.count("*"), 6).alias("avg_conf"),
+        F.concat(
+            F.array_join(F.transform(ordered, lambda s: s["text"]), " "), F.lit("\n")
+        ).alias("line_text"),
+    )
+
+
+SQL_OCR_LINES = f"""
+WITH w AS (SELECT * FROM read_parquet('{_golden('ocr_words')}') WHERE text <> '')
+SELECT url, line_id,
+       min("left") AS "left", min("top") AS "top",
+       max("right") AS "right", max("bottom") AS "bottom",
+       min(baseline) AS baseline, min(block_id) AS block_id,
+       count(*) AS n_words,
+       round(CAST(sum(CAST(confidence AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+         AS avg_conf,
+       string_agg(text, ' ' ORDER BY word_id) || chr(10) AS line_text
+FROM w GROUP BY url, line_id
+"""
 
 
 def ocr_layout(spark, sf_dir):

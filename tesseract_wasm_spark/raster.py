@@ -83,6 +83,30 @@ def render_page_drf(lines: list[str], *, rot: int = 0, channels: int = 1,
     )
 
 
+def render_columns(columns: list[list[str]], *, gutter_chars: int = 4,
+                   rot: int = 0, channels: int = 4, skew_per_mille: int = 0,
+                   lang: str = "eng") -> np.ndarray:
+    """Multi-column page: columns side by side separated by a blank gutter of
+    ``gutter_chars`` advances (>= the engine's MIN_GUTTER so block detection
+    splits them). Reading order ground truth = all of column 0's lines, then
+    column 1's, ... (expected_text of the concatenated line lists)."""
+    widths = [max((len(ln) for ln in col), default=1) for col in columns]
+    n_rows = max((len(col) for col in columns), default=0)
+    merged = []
+    for i in range(n_rows):
+        parts = []
+        for col, wd in zip(columns, widths):
+            s = col[i] if i < len(col) else ""
+            parts.append(s.ljust(wd + gutter_chars))
+        merged.append("".join(parts).rstrip())
+    return render_page(merged, rot=rot, channels=channels,
+                       skew_per_mille=skew_per_mille, lang=lang)
+
+
+def render_columns_drf(columns: list[list[str]], **kw) -> bytes:
+    return drf.encode(render_columns(columns, channels=kw.pop("channels", 1), **kw))
+
+
 def empty_page(w: int, h: int) -> np.ndarray:
     """All-white page (reference emptyImage(), test/ocr-engine-test.js:33-44)."""
     rgba = np.full((h, w, 4), 255, dtype=np.uint8)
