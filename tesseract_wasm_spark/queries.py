@@ -656,10 +656,16 @@ def ocr_layout(spark, sf_dir):
     return layout_df(ocr_pages(pages, with_text=False, with_orientation=False))
 
 
+SQL_OCR_LAYOUT = f"SELECT * FROM read_parquet('{_golden('ocr_layout')}')"
+
+
 def ocr_orientation(spark, sf_dir):
     from tesseract_wasm_spark.outputs import orientation_df  # noqa: PLC0415
 
     return orientation_df(_fixture_results(spark))
+
+
+SQL_OCR_ORIENTATION = f"SELECT * FROM read_parquet('{_golden('ocr_orientation')}')"
 
 
 def ocr_hocr(spark, sf_dir):
@@ -668,10 +674,16 @@ def ocr_hocr(spark, sf_dir):
     return hocr_df(_fixture_results(spark))
 
 
+SQL_OCR_HOCR = f"SELECT * FROM read_parquet('{_golden('ocr_hocr')}')"
+
+
 def ocr_errors(spark, sf_dir):
     from tesseract_wasm_spark.outputs import errors_df  # noqa: PLC0415
 
     return errors_df(_fixture_results(spark))
+
+
+SQL_OCR_ERRORS = f"SELECT * FROM read_parquet('{_golden('ocr_errors')}')"
 
 
 def text_rolling_fp(spark, sf_dir):
@@ -680,9 +692,71 @@ def text_rolling_fp(spark, sf_dir):
     return rolling_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+SQL_TEXT_ROLLING_FP = (
+    f"SELECT doc_id, rolling_fp FROM read_parquet('{_golden('text_rolling_fp_sf001')}')"
+)
+
+# dedup_simhash oracle: the pigeonhole banding filter has EXACT recall (any
+# pair within Hamming k must share one of k+1 chunks), so the banded output
+# equals the brute-force all-pairs Hamming join over the signatures — which
+# DuckDB computes independently from the committed signature golden.
+SQL_DEDUP_SIMHASH = f"""
+WITH s AS (SELECT * FROM read_parquet('{_golden('simhash_signatures_sf001')}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)"
+)
+
+# sim_srp_pairs oracle: candidates = bucket-equality over the committed SRP
+# bucket golden; DuckDB then verifies the exact cosine from the embeddings
+# table itself — only the bucket assignment is snapshot, the similarity math
+# is re-derived.
+SQL_SIM_SRP = f"""
+WITH s AS (SELECT * FROM read_parquet('{_golden('srp_buckets_sf001')}')),
+cand AS (
+  SELECT x.vec_id AS va, y.vec_id AS vb
+  FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cosine
+FROM cand JOIN embeddings a ON a.vec_id = va JOIN embeddings b ON b.vec_id = vb
+WHERE {_COS} >= 0.2
+"""
+
+# ann_ivf oracle: cell assignments + probe lists are snapshot; scoring and
+# ranking re-derive in SQL from the embeddings table.
+SQL_ANN_IVF = f"""
+WITH cells AS (SELECT * FROM read_parquet('{_golden('ivf_cells_sf001')}')),
+probes AS (SELECT * FROM read_parquet('{_golden('ivf_probes_sf001')}')),
+scored AS (
+  SELECT p.query_id, ct.vec_id AS neighbor_id,
+         round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4)
+           AS cosine
+  FROM probes p
+  JOIN cells ct ON ct.cell_id = p.cell_id
+  JOIN embeddings e ON e.vec_id = ct.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE ct.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def ocr_text_lstm(spark, sf_dir):
-    """P5 v2 path: extraction via the LSTM+CTC recognizer (rows-only check;
-    pytest asserts it agrees with the template path byte-for-byte)."""
+    """P5 v2 path: extraction via the LSTM+CTC recognizer (golden-parquet
+    oracle; pytest additionally asserts it agrees with the template path
+    byte-for-byte)."""
     import pandas as pd  # noqa: PLC0415
 
     from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
@@ -693,21 +767,24 @@ def ocr_text_lstm(spark, sf_dir):
     )
 
     def run(batches):
-        from tesseract_wasm_spark import drf  # noqa: PLC0415
-        from tesseract_wasm_spark.engine.components import label_components  # noqa: PLC0415
-        from tesseract_wasm_spark.engine.lstm_ctc import recognize_page_lstm  # noqa: PLC0415
-        from tesseract_wasm_spark.engine.otsu import binarize  # noqa: PLC0415
-        from tesseract_wasm_spark.engine.segment import segment  # noqa: PLC0415
+        from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
 
         for pdf in batches:
-            out = []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                mask = binarize(drf.decode(bytes(payload)))
-                lines = segment(label_components(mask))
-                out.append({"url": url, "text_out": recognize_page_lstm(mask, lines)})
+            out = [
+                {
+                    "url": url,
+                    "text_out": process_page(
+                        bytes(payload), recognizer="lstm", lang=lang
+                    ).page_text,
+                }
+                for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"])
+            ]
             yield pd.DataFrame(out, columns=["url", "text_out"])
 
-    return pages.select("url", "html").mapInPandas(run, "url string, text_out string")
+    return pages.select("url", "html", "lang").mapInPandas(run, "url string, text_out string")
+
+
+SQL_OCR_TEXT_LSTM = f"SELECT * FROM read_parquet('{_golden('ocr_text_lstm')}')"
 
 
 def ocr_media_metadata(spark, sf_dir):
@@ -715,6 +792,9 @@ def ocr_media_metadata(spark, sf_dir):
     from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
 
     return media_metadata(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
+
+
+SQL_OCR_MEDIA = f"SELECT * FROM read_parquet('{_golden('ocr_media_metadata')}')"
 
 
 # ---------------------------------------------------------------- registry
@@ -741,26 +821,27 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash": (dedup_minhash, SQL_DEDUP_MINHASH),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding": (dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk": (ann_topk, SQL_ANN_TOPK),
-    "ann_ivf": (ann_ivf, None),
-    "sim_srp_pairs": (sim_srp_pairs, None),
+    "ann_ivf": (ann_ivf, SQL_ANN_IVF),
+    "sim_srp_pairs": (sim_srp_pairs, SQL_SIM_SRP),
     "text_langid": (text_langid, SQL_TEXT_LANGID),
     "text_tokens": (text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "text_rolling_fp": (text_rolling_fp, None),
-    # OCR engine surface (rows-only; byte-identity in pytest goldens)
-    "ocr_text": (ocr_text, None),
-    "ocr_words": (ocr_words, None),
-    "ocr_lines": (ocr_lines, None),
-    "ocr_layout": (ocr_layout, None),
-    "ocr_orientation": (ocr_orientation, None),
-    "ocr_hocr": (ocr_hocr, None),
-    "ocr_errors": (ocr_errors, None),
-    "ocr_text_lstm": (ocr_text_lstm, None),
-    "ocr_media_metadata": (ocr_media_metadata, None),
+    "text_rolling_fp": (text_rolling_fp, SQL_TEXT_ROLLING_FP),
+    # OCR engine surface (golden-parquet oracles; byte-identity additionally
+    # gated by pytest goldens)
+    "ocr_text": (ocr_text, SQL_OCR_TEXT),
+    "ocr_words": (ocr_words, SQL_OCR_WORDS),
+    "ocr_lines": (ocr_lines, SQL_OCR_LINES),
+    "ocr_layout": (ocr_layout, SQL_OCR_LAYOUT),
+    "ocr_orientation": (ocr_orientation, SQL_OCR_ORIENTATION),
+    "ocr_hocr": (ocr_hocr, SQL_OCR_HOCR),
+    "ocr_errors": (ocr_errors, SQL_OCR_ERRORS),
+    "ocr_text_lstm": (ocr_text_lstm, SQL_OCR_TEXT_LSTM),
+    "ocr_media_metadata": (ocr_media_metadata, SQL_OCR_MEDIA),
 }
 
 

@@ -34,12 +34,28 @@ def _canon(rows, cols):
     return sorted("|".join(_norm(r[c]) for c in cs) for r in rows)
 
 
-@pytest.fixture(scope="module")
-def duck():
+#: entries whose oracle reads a golden snapshot generated at the DRIVER's
+#: gate SF (0.01) — their parity only holds against the sf0.01 tables
+#: (tools/make_goldens.py regenerates; the driver always compares at sf0.01)
+SF_LOCKED = {"text_rolling_fp", "dedup_simhash", "sim_srp_pairs", "ann_ivf"}
+SF_LOCKED_DIR = "/root/testdata/sf0.01"
+
+
+def _make_duck(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return _make_duck(SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def duck_gate():
+    return _make_duck(SF_LOCKED_DIR)
 
 
 def _oracle_cases():
@@ -49,13 +65,14 @@ def _oracle_cases():
 
 
 @pytest.mark.parametrize("name", _oracle_cases())
-def test_oracle_parity(spark, duck, name):
+def test_oracle_parity(spark, duck, duck_gate, name):
     from tesseract_wasm_spark.queries import REGISTRY
 
     fn, sql = REGISTRY[name]
-    sdf = fn(spark, SF_DIR)
+    sf_dir, con = (SF_LOCKED_DIR, duck_gate) if name in SF_LOCKED else (SF_DIR, duck)
+    sdf = fn(spark, sf_dir)
     srows = [r.asDict() for r in sdf.collect()]
-    res = duck.execute(sql)
+    res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = [dict(zip(dcols, row)) for row in res.fetchall()]
     assert sorted(sdf.columns) == sorted(dcols)

@@ -1,0 +1,100 @@
+"""Regenerate the committed golden-parquet oracles under tests/golden/oracle/.
+
+The OCR-surface driver entries (queries.py ocr_*) and the hash-defined
+datapipe entries (dedup_simhash, sim_srp_pairs, ann_ivf, text_rolling_fp) are
+not SQL-expressible from the raw tables, so their DuckDB oracles read these
+committed snapshots (and, where the entry is a derivation, re-derive it in
+SQL — see queries.py for which side does real work).
+
+Run AFTER any change to the engine, fixtures, or the hashing/bucketing
+algorithms, then re-run tools/check_parity.py /root/testdata/sf0.01:
+
+    python tools/make_goldens.py
+
+Every golden is a single parquet file written by Spark (exact schema,
+including nullable ints), moved out of the part-file directory.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "oracle",
+)
+SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale factor
+
+
+def write_golden(df, name: str) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"golden_{name}_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "out"))
+        parts = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))
+        assert len(parts) == 1, parts
+        dst = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        shutil.move(parts[0], dst)
+        print(f"wrote {dst}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    from tesseract_wasm_spark.session import get_spark
+    from tesseract_wasm_spark import queries as Q
+
+    spark = get_spark(cores=8)
+
+    # --- OCR surface (sf-independent: runs on the deterministic fixtures)
+    for name in ("ocr_text", "ocr_words", "ocr_layout", "ocr_orientation",
+                 "ocr_hocr", "ocr_errors", "ocr_text_lstm", "ocr_media_metadata"):
+        fn = Q.REGISTRY[name][0]
+        write_golden(fn(spark, SF_DIR), name)
+    # (ocr_lines needs no golden: its oracle re-derives the rollup from the
+    #  ocr_words golden in SQL)
+
+    # --- datapipe snapshots at the driver's gate SF
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    from tesseract_wasm_spark.datapipe.dedup import simhash_signatures
+    write_golden(simhash_signatures(docs), "simhash_signatures_sf001")
+
+    from tesseract_wasm_spark.datapipe.similarity import (
+        assign_ivf_cells,
+        deterministic_centroids,
+        srp_signatures,
+    )
+    # parameters MUST mirror the driver entries (queries.sim_srp_pairs /
+    # queries.ann_ivf): n_bits=10 seed=9; n_cells=16 nprobe=4, queries 0..7
+    write_golden(srp_signatures(emb, n_bits=10, seed=9), "srp_buckets_sf001")
+
+    import numpy as np
+    cents = deterministic_centroids(emb, 16)
+    write_golden(assign_ivf_cells(emb, cents), "ivf_cells_sf001")
+    cent_norm = np.linalg.norm(cents, axis=1) + 1e-12
+    probe_rows = []
+    for r in emb.filter(emb.vec_id.isin(Q.ANN_QUERY_IDS)).collect():
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        sims = (cents @ v) / (np.linalg.norm(v) + 1e-12) / cent_norm
+        for c in np.argsort(-sims)[:4]:
+            probe_rows.append((int(r["vec_id"]), int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
+    write_golden(probes, "ivf_probes_sf001")
+
+    from tesseract_wasm_spark.datapipe.textstats import rolling_fingerprints
+    write_golden(rolling_fingerprints(docs), "text_rolling_fp_sf001")
+
+    spark.stop()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
