@@ -69,22 +69,17 @@ def _ocr_worker(cores: int) -> dict:
     kw = {"with_orientation": False}
     # warm executor pool + JIT (worker spawn out of measurement)
     ocr_pages(pages.limit(cores * 8), num_partitions=cores, **kw).count()
-    # best of 2 on the headline pair (4/16): the sandbox is a shared VM with
-    # visible run-to-run noise; taking the best run per level (same treatment
-    # at both levels) measures the engine rather than transient host
-    # interference. The saturated pair (8/32) runs once to bound total time.
-    repeats = 2 if cores in (4, 16) else 1
-    best = None
-    for _ in range(repeats):
-        t0 = time.monotonic()
-        res = ocr_pages(pages, num_partitions=cores * 2, **kw)
-        n_ok = res.filter(F.col("error").isNull()).count()
-        wall = time.monotonic() - t0
-        if best is None or wall < best["wall_sec"]:
-            best = {"cores": cores, "pages": n, "ok": n_ok, "wall_sec": wall,
-                    "pages_per_sec": n / wall}
+    # ONE measured run per subprocess invocation; the parent interleaves
+    # invocations across parallelism levels (4,16,4,16,...) and takes the
+    # per-level MEDIAN, so slow-host windows hit both levels symmetrically
+    # instead of biasing whichever level ran during them.
+    t0 = time.monotonic()
+    res = ocr_pages(pages, num_partitions=cores * 2, **kw)
+    n_ok = res.filter(F.col("error").isNull()).count()
+    wall = time.monotonic() - t0
     spark.stop()
-    return best
+    return {"cores": cores, "pages": n, "ok": n_ok, "wall_sec": wall,
+            "pages_per_sec": n / wall}
 
 
 def _engine_pages(_):
@@ -126,6 +121,19 @@ def _spin(_):
     for _ in range(8_000_000):
         x = (x * 1103515245 + 12345) & 0xFFFFFFFF
     return time.monotonic() - t0
+
+
+def _spin_pair(lo: int, hi: int) -> float:
+    """One paired spin measurement: work/sec at lo and hi processes,
+    efficiency = (hi/lo throughput ratio) / (hi/lo)."""
+    out = {}
+    for n in (lo, hi):
+        with multiprocessing.Pool(n) as p:
+            p.map(_spin, range(n))
+            t0 = time.monotonic()
+            p.map(_spin, range(n))
+            out[n] = n / (time.monotonic() - t0)
+    return (out[hi] / out[lo]) / (hi / lo)
 
 
 def _spin_control() -> dict:
@@ -173,20 +181,26 @@ def _run_sub(mode: str, cores: int) -> dict:
 
 
 def _write_baseline_md(ocr: dict, eff_unsat: float, eff_sat: float,
-                       spin: dict, engine: dict, queries: dict) -> None:
+                       spin: dict, engine: dict, queries: dict,
+                       *, spin_unsat: float, n_runs: int) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['pages']} | {r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
         for r in ocr.values()
     )
+    ratio = eff_unsat / spin_unsat if spin_unsat else float("nan")
     lines = f"""# BENCH/BASELINE — measured throughput & scaling
 
 Corpus: {ocr[16]['pages']} deterministic grayscale-DRF pages
 (fixtures.corpus_df, seed 7, heavy-tailed sizes); getText-equivalent workload
 (text + word boxes + flags + confidences; orientation is a separate call in
 the reference too). Relational queries at `{SF_DIR}`. All numbers from
-fresh-JVM subprocess runs on the same input, best of 2 per level (this VM
-shows ±30% shared-host noise across minutes).
+fresh-JVM subprocess runs on the same input. Protocol: the headline 4 -> 16
+pair is the MEDIAN of {n_runs} interleaved runs per level (4,16,4,16,...),
+with a paired pure-CPU spin control measured in the same minutes; the
+saturated 8/32 pair is a single run each (this VM shows ±30% shared-host
+noise across minutes — the table's per-level row shows the median-nearest
+run).
 
 | config | pages | wall (s) | pages/sec |
 |---|---|---|---|
@@ -196,23 +210,25 @@ shows ±30% shared-host noise across minutes).
 
 | measurement | efficiency | meaning |
 |---|---|---|
-| Spark job local[4] -> local[16] | **{eff_unsat:.3f}** | end-to-end pipeline on this single shared VM |
-| Spark job local[8] -> local[32] | {eff_sat:.3f} | full host saturation |
+| Spark job local[4] -> local[16], median of {n_runs} interleaved | **{eff_unsat:.3f}** | end-to-end pipeline on this single shared VM |
+| PAIRED CONTROL pure-CPU spin 4 -> 16 (same minutes, median) | {spin_unsat:.3f} | zero-memory-traffic ceiling of this host for the same pair |
+| **pipeline / host-ceiling ratio (4 -> 16)** | **{ratio:.3f}** | how much of the host's own achievable scaling the pipeline reaches |
+| Spark job local[8] -> local[32], single run | {eff_sat:.3f} | full host saturation |
 | CONTROL pure-engine multiprocessing 4 -> 16 | {engine['efficiency']:.3f} | extraction kernel alone, no JVM |
 | CONTROL pure-CPU spin 8 -> 32 | {spin['efficiency']:.3f} | empty integer loop, zero memory traffic |
 
-**Reading the controls:** the controls measure what this single shared VM
-itself allows — a memory-free spin loop at {spin['efficiency']:.2f} (8->32)
-and the extraction kernel alone at {engine['efficiency']:.2f} (4->16) this
-run; across runs both fluctuate with shared-host load, which is why every
-level is measured best-of-N on the same input. Per-core resources (LLC/DRAM
-bandwidth) shrink as local concurrency grows on one box; on a real cluster,
-going N -> 4N executors adds *nodes*, so per-executor cache and bandwidth stay
-constant — the regime the kernel control approximates. The pipeline itself
-adds no serial stage: the extraction map is shuffle-free after one salting
-pass, partial aggregation is map-side, and per-partition work is independent,
-so executor-count scaling is limited only by input splits (>= 4N partitions
-guaranteed by `rebalance_pages`).
+**Reading the controls:** the paired spin control measures what a
+zero-memory-traffic integer loop achieves between 4 and 16 processes on this
+host in the SAME minutes as the pipeline pair — the machine's own ceiling for
+the comparison; the pipeline/host-ceiling ratio is the engine's share of it.
+Per-core resources (LLC/DRAM bandwidth) shrink as local concurrency grows on
+one box; on a real cluster, going N -> 4N executors adds *nodes*, so
+per-executor cache and bandwidth stay constant — the regime the kernel
+control approximates. The pipeline itself adds no serial stage: the
+extraction map is shuffle-free after one salting pass, partial aggregation is
+map-side, and per-partition work is independent, so executor-count scaling is
+limited only by input splits (>= 4N partitions guaranteed by
+`rebalance_pages`).
 
 
 ## Reference comparison (single-node, same page scale)
@@ -228,6 +244,13 @@ font rather than running a trained LSTM over scanned glyphs (the LSTM+CTC
 path exists and is integrated, engine/lstm_ctc.py, at ~60 ms/page).
 
 ## Relational / datapipe queries (local[{CPUS}], best of 2)
+
+At sf0.1 (4 MB of documents) the multi-stage queries are dominated by fixed
+per-stage costs (JVM scheduling, Python-worker round-trips, shuffle
+barriers), not data volume — e.g. the whole minhash numeric kernel is ~0.5 s
+single-core for the full corpus; the rest of its wall time is stage overhead
+that amortizes away at real data sizes. Treat sub-10 s numbers as overhead
+floors under shared-host load, not per-byte costs.
 
 | query | seconds |
 |---|---|
@@ -245,13 +268,31 @@ def main() -> None:
         return
 
     _ensure_corpus(CPUS)
-    ocr = {c: _run_sub("ocr", c) for c in (4, 16, 8, CPUS)}
-    eff_unsat = (ocr[16]["pages_per_sec"] / ocr[4]["pages_per_sec"]) / 4.0
+    # headline N -> 4N pair: INTERLEAVED median-of-3 with a paired spin
+    # control in the same window. Interleaving makes shared-host drift hit
+    # both levels symmetrically; the paired spin efficiency says what a
+    # zero-memory-traffic workload achieves on this host in the SAME minutes,
+    # i.e. the machine's own ceiling for the 4 -> 16 comparison.
+    import statistics
+
+    runs: dict[int, list[dict]] = {4: [], 16: []}
+    spin_pair_effs: list[float] = []
+    for _ in range(3):
+        runs[4].append(_run_sub("ocr", 4))
+        runs[16].append(_run_sub("ocr", 16))
+        spin_pair_effs.append(_spin_pair(4, 16))
+    med = {c: statistics.median(r["pages_per_sec"] for r in rs) for c, rs in runs.items()}
+    ocr = {c: min(rs, key=lambda r: abs(r["pages_per_sec"] - med[c])) for c, rs in runs.items()}
+    for c in (8, CPUS):  # saturated pair: single shot (time budget)
+        ocr[c] = _run_sub("ocr", c)
+    eff_unsat = (med[16] / med[4]) / 4.0
+    spin_unsat = statistics.median(spin_pair_effs)
     eff_sat = (ocr[CPUS]["pages_per_sec"] / ocr[8]["pages_per_sec"]) / (CPUS / 8)
     spin = _spin_control()
     engine = _engine_control()
     queries = _run_sub("queries", CPUS)
-    _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries)
+    _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries,
+                       spin_unsat=spin_unsat, n_runs=3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -262,13 +303,17 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "ocr_pages_per_sec",
-                "value": round(ocr[16]["pages_per_sec"], 2),
+                "value": round(med[16], 2),
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf_val,
                 "ocr": {f"local[{c}]": round(r["pages_per_sec"], 2) for c, r in ocr.items()},
                 "pages": ocr[16]["pages"],
                 "scaling_efficiency_4_to_16": round(eff_unsat, 3),
+                "paired_spin_ceiling_4_to_16": round(spin_unsat, 3),
+                "scaling_vs_host_ceiling_4_to_16": round(
+                    eff_unsat / spin_unsat if spin_unsat else 0.0, 3
+                ),
                 "scaling_efficiency_8_to_32": round(eff_sat, 3),
                 "engine_control_efficiency_4_to_16": round(engine["efficiency"], 3),
                 "spin_control_efficiency_8_to_32": round(spin["efficiency"], 3),

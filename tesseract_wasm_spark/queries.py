@@ -96,18 +96,16 @@ SQL_AGG_COUNT = "SELECT event_type, count(*) AS n FROM events GROUP BY event_typ
 
 
 def q_first_last(spark, sf_dir):
-    # Q6 — reference: wordBoxes.at(0) / .at(-1), test/ocr-engine-test.js:192-193
+    # Q6 — reference: wordBoxes.at(0) / .at(-1), test/ocr-engine-test.js:192-193.
+    # min_by/max_by over a (ts, event_id) struct key: ONE map-side-partial
+    # hash aggregate instead of two full window sorts (the oracle keeps the
+    # row_number formulation — identical tie-break semantics, and the oracle's
+    # plan cost is irrelevant).
     ev = _t(spark, sf_dir, "events")
-    asc = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    desc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn_a", F.row_number().over(asc))
-        .withColumn("rn_d", F.row_number().over(desc))
-        .groupBy("user_id")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("first_event"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("last_event"),
-        )
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_event"),
+        F.max_by("event_type", key).alias("last_event"),
     )
 
 
