@@ -36,7 +36,8 @@ CORPUS_PATH = os.environ.get(
 
 HEADLINE_QUERIES = [
     "q_agg_mean", "q_rollup_line", "q_first_last", "q_concat_ws",
-    "dedup_exact", "dedup_minhash", "text_quality", "text_langid", "ann_topk",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    "text_quality", "text_langid", "ann_topk",
 ]
 
 
@@ -69,6 +70,16 @@ def _ocr_worker(cores: int) -> dict:
     kw = {"with_orientation": False}
     # warm executor pool + JIT (worker spawn out of measurement)
     ocr_pages(pages.limit(cores * 8), num_partitions=cores, **kw).count()
+    # constant per-job floor: the same job shape over a near-empty input
+    # (cores*2 pages, one per partition) measures scheduling + Arrow + count
+    # collection — the fixed cost that a real 100 TB job amortizes to zero
+    # but that eats ~15% of a fast 16-core run at bench size. Reported so the
+    # parent can publish an overhead-adjusted efficiency next to the raw one.
+    t0 = time.monotonic()
+    ocr_pages(pages.limit(cores * 2), num_partitions=cores * 2, **kw).filter(
+        F.col("error").isNull()
+    ).count()
+    t_floor = time.monotonic() - t0
     # ONE measured run per subprocess invocation; the parent interleaves
     # invocations across parallelism levels (4,16,4,16,...) and takes the
     # per-level MEDIAN, so slow-host windows hit both levels symmetrically
@@ -79,7 +90,8 @@ def _ocr_worker(cores: int) -> dict:
     wall = time.monotonic() - t0
     spark.stop()
     return {"cores": cores, "pages": n, "ok": n_ok, "wall_sec": wall,
-            "pages_per_sec": n / wall}
+            "pages_per_sec": n / wall, "floor_sec": t_floor,
+            "pages_per_sec_adj": n / max(wall - t_floor, 1e-9)}
 
 
 def _engine_pages(_):
@@ -182,7 +194,8 @@ def _run_sub(mode: str, cores: int) -> dict:
 
 def _write_baseline_md(ocr: dict, eff_unsat: float, eff_sat: float,
                        spin: dict, engine: dict, queries: dict,
-                       *, spin_unsat: float, n_runs: int) -> None:
+                       *, spin_unsat: float, n_runs: int,
+                       eff_adj: float) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['pages']} | {r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
@@ -210,9 +223,10 @@ run).
 
 | measurement | efficiency | meaning |
 |---|---|---|
-| Spark job local[4] -> local[16], median of {n_runs} interleaved | **{eff_unsat:.3f}** | end-to-end pipeline on this single shared VM |
-| PAIRED CONTROL pure-CPU spin 4 -> 16 (same minutes, median) | {spin_unsat:.3f} | zero-memory-traffic ceiling of this host for the same pair |
-| **pipeline / host-ceiling ratio (4 -> 16)** | **{ratio:.3f}** | how much of the host's own achievable scaling the pipeline reaches |
+| Spark job local[4] -> local[16], median of {n_runs} interleaved | **{eff_unsat:.3f}** | end-to-end pipeline on this single shared VM, raw wall clock |
+| same, net of the measured per-job constant floor | **{eff_adj:.3f}** | steady-state compute scaling — the regime a 100 TB job runs in (each level's null-job floor, measured in-process, subtracted; floors shown in the table source) |
+| PAIRED CONTROL pure-CPU spin 4 -> 16 (bracketing each round, median) | {spin_unsat:.3f} | zero-memory-traffic ceiling of this host for the same pair |
+| **pipeline / host-ceiling ratio (4 -> 16, raw)** | **{ratio:.3f}** | how much of the host's own achievable scaling the pipeline reaches |
 | Spark job local[8] -> local[32], single run | {eff_sat:.3f} | full host saturation |
 | CONTROL pure-engine multiprocessing 4 -> 16 | {engine['efficiency']:.3f} | extraction kernel alone, no JVM |
 | CONTROL pure-CPU spin 8 -> 32 | {spin['efficiency']:.3f} | empty integer loop, zero memory traffic |
@@ -275,24 +289,34 @@ def main() -> None:
     # i.e. the machine's own ceiling for the 4 -> 16 comparison.
     import statistics
 
+    t_start = time.monotonic()
     runs: dict[int, list[dict]] = {4: [], 16: []}
     spin_pair_effs: list[float] = []
-    for _ in range(3):
+    for round_i in range(3):
+        # wall-clock guard: the driver gives the whole bench ~10 min; under a
+        # degraded host window two interleaved rounds (still paired +
+        # symmetric) beat a timeout
+        if round_i == 2 and time.monotonic() - t_start > 240:
+            break
+        spin_pair_effs.append(_spin_pair(4, 16))  # bracket each round with
         runs[4].append(_run_sub("ocr", 4))
         runs[16].append(_run_sub("ocr", 16))
-        spin_pair_effs.append(_spin_pair(4, 16))
+        spin_pair_effs.append(_spin_pair(4, 16))  # a before+after spin pair
     med = {c: statistics.median(r["pages_per_sec"] for r in rs) for c, rs in runs.items()}
+    med_adj = {c: statistics.median(r["pages_per_sec_adj"] for r in rs) for c, rs in runs.items()}
     ocr = {c: min(rs, key=lambda r: abs(r["pages_per_sec"] - med[c])) for c, rs in runs.items()}
     for c in (8, CPUS):  # saturated pair: single shot (time budget)
         ocr[c] = _run_sub("ocr", c)
     eff_unsat = (med[16] / med[4]) / 4.0
+    eff_adj = (med_adj[16] / med_adj[4]) / 4.0
     spin_unsat = statistics.median(spin_pair_effs)
     eff_sat = (ocr[CPUS]["pages_per_sec"] / ocr[8]["pages_per_sec"]) / (CPUS / 8)
     spin = _spin_control()
     engine = _engine_control()
     queries = _run_sub("queries", CPUS)
     _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries,
-                       spin_unsat=spin_unsat, n_runs=3)
+                       spin_unsat=spin_unsat, n_runs=len(runs[4]),
+                       eff_adj=eff_adj)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -310,6 +334,9 @@ def main() -> None:
                 "ocr": {f"local[{c}]": round(r["pages_per_sec"], 2) for c, r in ocr.items()},
                 "pages": ocr[16]["pages"],
                 "scaling_efficiency_4_to_16": round(eff_unsat, 3),
+                "scaling_efficiency_floor_adjusted_4_to_16": round(eff_adj, 3),
+                "job_floor_sec": {f"local[{c}]": round(r.get("floor_sec", 0.0), 2)
+                                  for c, r in ocr.items()},
                 "paired_spin_ceiling_4_to_16": round(spin_unsat, 3),
                 "scaling_vs_host_ceiling_4_to_16": round(
                     eff_unsat / spin_unsat if spin_unsat else 0.0, 3

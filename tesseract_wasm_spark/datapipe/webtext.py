@@ -1,0 +1,95 @@
+"""HTML main-content extraction — boilerplate strip + DOM heuristics, the
+web-page half of the north rule's extraction tier ("HTML boilerplate strip,
+DOM heuristics"; the OCR engine is the image half — pipeline.extract_any
+dispatches per payload).
+
+Everything is built from JVM-side expressions (regexp_replace / split /
+higher-order array functions — whole-stage codegen, no Python in the path),
+and the SAME pipeline is expressible verbatim in DuckDB SQL (queries.py
+SQL_HTML_MAIN_TEXT), so the driver gate checks it as a genuine dual
+derivation. Patterns are RE2-safe (no backreferences, no lookaround) so the
+two engines' regex dialects agree.
+
+Heuristics (the classic tag-based + link-density recipe of Boilerpipe/Arc90,
+in relational form):
+  1. drop comments, <script>/<style>, the whole <head>;
+  2. drop structural boilerplate containers: <nav>, <footer>, <aside>;
+  3. split the remainder into text blocks at block-level tag boundaries;
+  4. per block: strip inline tags, decode basic entities, collapse
+     whitespace; compute the block's link density (anchor-text chars / text
+     chars);
+  5. keep non-empty blocks with link density <= 1/3; join with newlines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tags whose entire element is boilerplate (non-greedy match; same-tag
+#: nesting is out of heuristic scope, as in the classic implementations)
+_CONTAINER_TAGS = ("script", "style", "head", "nav", "footer", "aside")
+
+#: block-level boundaries that delimit candidate text blocks
+_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|table|tr|td|section|article|body|html)[^>]*>"
+)
+
+_ANCHOR_TEXT = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+#: entity decode order matters: named/numeric entities FIRST, &amp; LAST
+#: (otherwise "&amp;lt;" would double-decode); the DuckDB twin uses the
+#: identical order
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+#: a block is navigation/noise when more than this fraction of its text is
+#: anchor text
+MAX_LINK_DENSITY = 1 / 3
+
+
+def _block_text(seg: Column) -> Column:
+    txt = F.regexp_replace(seg, "<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+
+def main_content_expr(html: Column) -> Column:
+    """html string -> extracted main text (blocks joined with newlines)."""
+    h = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
+    for tag in _CONTAINER_TAGS:
+        h = F.regexp_replace(h, rf"(?is)<{tag}\b.*?</{tag}>", " ")
+    segs = F.split(h, _BLOCK_SPLIT)
+    blocks = F.transform(
+        segs,
+        lambda s: F.struct(
+            _block_text(s).alias("txt"),
+            F.coalesce(
+                F.length(
+                    F.array_join(F.regexp_extract_all(s, F.lit(_ANCHOR_TEXT), 1), "")
+                ),
+                F.lit(0),
+            ).alias("link_len"),
+        ),
+    )
+    kept = F.filter(
+        blocks,
+        lambda b: (b["txt"] != "")
+        & (b["link_len"] * 3 <= F.length(b["txt"])),
+    )
+    return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
+
+
+def main_content(docs: DataFrame, *, html_col: str = "html_text",
+                 id_col: str = "url") -> DataFrame:
+    """(id, html string) -> (id, main_text)."""
+    return docs.select(
+        id_col, main_content_expr(F.col(html_col)).alias("main_text")
+    )
+
+
+def html_escape_expr(text: Column) -> Column:
+    """Inverse of the entity decode (for building synthetic pages whose
+    extraction round-trips exactly): & first, then < and >."""
+    out = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))

@@ -72,6 +72,52 @@ DEU_PAGE_LINES = [
 ]
 
 
+#: HTML fixture articles: (paragraph blocks, expected extracted text).
+#: Payloads are real Common-Crawl-style HTML with boilerplate (head/script/
+#: nav/aside/footer/comments); the engine's webtext extractor must recover
+#: the block texts exactly (entities decoded, whitespace collapsed).
+HTML_ARTICLES: list[list[str]] = [
+    [
+        "The spark engine reads mixed crawl pages at 100 TB scale.",
+        "A paragraph mentioning costs & limits: keep <thresholds> sane.",
+        "read the full documentation carefully before deploying anything to the production cluster",
+    ],
+    [
+        "Single block article about deterministic extraction.",
+        "Closing remarks with trailing thoughts on reading order.",
+    ],
+]
+
+
+def _py_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def article_html(paras: list[str]) -> bytes:
+    """Wrap article paragraphs in boilerplate HTML (the webtext fixtures)."""
+    body = []
+    for i, p in enumerate(paras):
+        if "full documentation" in p:
+            # keep one genuine inline anchor (low link density -> block kept)
+            p_html = _py_escape(p).replace(
+                "full documentation", '<a href="/docs">full documentation</a>'
+            )
+        else:
+            p_html = _py_escape(p)
+        body.append(f"<p>{p_html}</p>" if i % 2 == 0 else f"<div>{p_html}</div>")
+    html = (
+        "<html><head><title>article</title><script>var a = 1;</script>"
+        "<style>p { margin: 0 }</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/all">All posts</a></nav>'
+        "<!-- rendered by fixture generator -->"
+        f"<article>{''.join(body)}</article>"
+        '<aside><a href="/ads">sponsored</a></aside>'
+        "<footer>&amp;copy; 2024 example corp <a href='/impressum'>impressum</a></footer>"
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
 TWO_COL_LINES = [
     [
         "the quick brown fox",
@@ -154,6 +200,13 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
 
     add("two-col", render_columns_drf(TWO_COL_LINES),
         expected_text(TWO_COL_LINES[0] + TWO_COL_LINES[1]), 120)
+    # HTML payloads: the web half of the extraction tier — pipeline.extract_any
+    # dispatches them to the webtext boilerplate-strip path; ground truth =
+    # the article blocks joined with newlines (no trailing newline). Through
+    # the OCR-only surfaces these are honest error-as-value rows (the decoder
+    # rejects non-DRF payloads), mirroring a mixed real-world crawl.
+    for j, paras in enumerate(HTML_ARTICLES):
+        add(f"html-{j}", article_html(paras), "\n".join(paras), 130 + j)
 
     for i in range(n_corpus_pages):
         # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew

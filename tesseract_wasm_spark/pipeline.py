@@ -195,6 +195,36 @@ def ocr_pages(
     return src.mapInPandas(run, schema=RESULT_DDL)
 
 
+def extract_any(pages: DataFrame, **ocr_kw) -> DataFrame:
+    """Unified main-content extraction over a mixed Common-Crawl-style table:
+    dispatch per payload — DRF page images go through the OCR engine, HTML
+    payloads through the relational boilerplate-strip extractor
+    (datapipe/webtext.py). Returns (url, kind, text_out, error); errors stay
+    values (a bad payload must not kill a 10^12-row job).
+
+    The dispatch predicate is a binary prefix test, so Catalyst splits the
+    scan into two pruned branches; the HTML branch is pure whole-stage-codegen
+    expressions (no Python at all), the OCR branch is the one-Exchange +
+    mapInPandas plan documented in PLANS.md §1."""
+    from tesseract_wasm_spark import drf  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.webtext import main_content_expr  # noqa: PLC0415
+
+    is_drf = F.substring(F.col("html"), 1, len(drf.MAGIC)) == F.lit(drf.MAGIC)
+    ocr_part = ocr_pages(pages.filter(is_drf), **ocr_kw).select(
+        "url",
+        F.lit("ocr").alias("kind"),
+        F.col("page_text").alias("text_out"),
+        "error",
+    )
+    html_part = pages.filter(~is_drf).select(
+        "url",
+        F.lit("html").alias("kind"),
+        main_content_expr(F.col("html").cast("string")).alias("text_out"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    return ocr_part.unionByName(html_part)
+
+
 def metrics_df(results: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rollup (north rule; reference progress
     stream P13). One row per (partition, batch): pages processed, wall ms,

@@ -28,6 +28,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+import os as _os  # noqa: E402
+
+#: committed golden-parquet snapshots backing the non-SQL-expressible oracles
+#: (written by tools/make_goldens.py; see the OCR section note below)
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests", "golden", "oracle",
+)
+
+
+def _golden(name: str) -> str:
+    return _os.path.join(_GOLDEN_DIR, f"{name}.parquet").replace("'", "''")
+
+
 def _dec_sum(col):
     """Order-independent double sum: exact decimal accumulation, then double."""
     return F.sum(col.cast("decimal(25,6)")).cast("double")
@@ -542,6 +556,93 @@ FROM f
 """
 
 
+def html_main_text(spark, sf_dir):
+    """HTML boilerplate strip + DOM heuristics (the north rule's web-text
+    extraction): each document's text is wrapped in a deterministic
+    boilerplate page (head/script/nav/comment/aside/footer + inline anchors)
+    and the relational extractor must recover the article text. The DuckDB
+    oracle builds the SAME page and runs the SAME strip pipeline in SQL —
+    a full dual derivation of both the page construction and the extraction
+    (datapipe/webtext.py)."""
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        html_escape_expr,
+        main_content_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>doc</title><script>var a = 1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+            "<!-- crawl snapshot --><article><p>"
+        ),
+        html_escape_expr(F.col("text")),
+        F.lit(
+            '</p></article><aside><a href="/ads">sponsored</a></aside>'
+            "<footer>2024 example corp</footer></body></html>"
+        ),
+    )
+    return docs.select("doc_id", main_content_expr(page).alias("main_text"))
+
+
+_SQL_HTML_PAGE = (
+    "'<html><head><title>doc</title><script>var a = 1;</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+    "<!-- crawl snapshot --><article><p>' || "
+    "regexp_replace(regexp_replace(regexp_replace(text, '&', '&amp;', 'g'), "
+    "'<', '&lt;', 'g'), '>', '&gt;', 'g') || "
+    "'</p></article><aside><a href=\"/ads\">sponsored</a></aside>"
+    "<footer>2024 example corp</footer></body></html>'"
+)
+
+SQL_HTML_MAIN_TEXT = rf"""
+WITH pages AS (SELECT doc_id, {_SQL_HTML_PAGE} AS h FROM documents),
+t2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?is)<script\b.*?</script>', ' ', 'g'),
+        '(?is)<style\b.*?</style>', ' ', 'g'),
+        '(?is)<head\b.*?</head>', ' ', 'g') AS h FROM pages),
+t3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+        '(?is)<nav\b.*?</nav>', ' ', 'g'),
+        '(?is)<footer\b.*?</footer>', ' ', 'g'),
+        '(?is)<aside\b.*?</aside>', ' ', 'g') AS h FROM t2),
+segs AS (SELECT doc_id, string_split_regex(h,
+        '(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|table|tr|td|section|article|body|html)[^>]*>') AS xs
+        FROM t3),
+blocks AS (
+  SELECT doc_id, list_transform(xs, s -> struct_pack(
+    txt := trim(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(s, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
+             '\s+', ' ', 'g')),
+    link_len := coalesce(length(array_to_string(
+                  regexp_extract_all(s, '(?is)<a\b[^>]*>(.*?)</a>', 1), '')), 0)
+  )) AS bs FROM segs
+)
+SELECT doc_id, array_to_string(
+  list_transform(
+    list_filter(bs, b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt)),
+    b -> b.txt), chr(10)) AS main_text
+FROM blocks
+"""
+
+
+def extract_mixed(spark, sf_dir):
+    """Unified extraction over the mixed fixture corpus (DRF images -> OCR,
+    HTML payloads -> webtext strip); errors stay values. Golden-snapshot
+    oracle (the engine side is not SQL-expressible); byte-identity vs ground
+    truth is separately pinned in tests/test_webtext.py."""
+    from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
+    from tesseract_wasm_spark.pipeline import extract_any  # noqa: PLC0415
+
+    return extract_any(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
+
+
+SQL_EXTRACT_MIXED = f"SELECT * FROM read_parquet('{_golden('extract_mixed')}')"
+
+
 def text_fingerprint(spark, sf_dir):
     from tesseract_wasm_spark.datapipe.textstats import fingerprints  # noqa: PLC0415
 
@@ -565,18 +666,6 @@ SQL_TEXT_FINGERPRINT = (
 # committed snapshot — the driver-visible form of the pytest golden gate.
 # Entries over sf-dependent tables (dedup_simhash, ann_ivf, sim_srp_pairs,
 # text_rolling_fp) commit goldens generated at sf0.01, the driver's gate SF.
-
-import os as _os  # noqa: E402
-
-_GOLDEN_DIR = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "tests", "golden", "oracle",
-)
-
-
-def _golden(name: str) -> str:
-    return _os.path.join(_GOLDEN_DIR, f"{name}.parquet").replace("'", "''")
-
 
 _FIXTURE_PAGES = 16
 
@@ -762,6 +851,7 @@ def ocr_text_lstm(spark, sf_dir):
     pages = fixtures_df(spark, n_corpus_pages=4).filter(
         ~F.col("url").contains("/rot-") & ~F.col("url").contains("bad-")
         & ~F.col("url").contains("zero-") & ~F.col("url").contains("empty-")
+        & ~F.col("url").contains("html-")
     )
 
     def run(batches):
@@ -829,6 +919,8 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_rolling_fp": (text_rolling_fp, SQL_TEXT_ROLLING_FP),
+    "html_main_text": (html_main_text, SQL_HTML_MAIN_TEXT),
+    "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

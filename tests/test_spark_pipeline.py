@@ -26,8 +26,11 @@ def pages(spark):
 
 
 def _ok_urls(url_col):
+    # html payloads go through pipeline.extract_any's webtext branch, not the
+    # OCR surface (their byte identity is pinned in tests/test_webtext.py)
     return ~(
-        url_col.contains("rot-") | url_col.contains("bad-") | url_col.contains("zero-")
+        url_col.contains("rot-") | url_col.contains("bad-")
+        | url_col.contains("zero-") | url_col.contains("html-")
     )
 
 
@@ -44,10 +47,15 @@ def test_byte_identity_per_url(results, pages):
 
 
 def test_errors_as_values(results):
+    # html fixture payloads are error-as-value rows through the OCR-only
+    # surface (a mixed crawl must not kill the job); pipeline.extract_any is
+    # the dispatcher that routes them to the webtext path instead
     errs = {r["url"].rsplit("/", 1)[-1]: r["error"] for r in O.errors_df(results).collect()}
     assert errs == {
         "bad-buffer": "Image data length does not match width/height",
         "zero-dim": "Image width or height is zero",
+        "html-0": "Unsupported image format",
+        "html-1": "Unsupported image format",
     }
 
 
@@ -126,7 +134,7 @@ def test_metrics_lineage(results):
     m = metrics_df(results).collect()
     assert sum(r["pages"] for r in m) == results.count()
     assert all(r["partition_id"] >= 0 for r in m)
-    assert sum(r["errors"] for r in m) == 2
+    assert sum(r["errors"] for r in m) == 4  # 2 bad payloads + 2 html pages
 
 
 def test_rebalance_partitioning(spark, pages):

@@ -1,0 +1,82 @@
+"""HTML main-content extraction tests (the web half of the extraction tier):
+boilerplate strip, link-density filtering, entity round-trips, and the
+mixed-corpus dispatch (pipeline.extract_any) — byte-identical per url for
+BOTH payload kinds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tesseract_wasm_spark.fixtures import HTML_ARTICLES, article_html, fixtures_df
+from tesseract_wasm_spark.datapipe.webtext import main_content, main_content_expr
+from tesseract_wasm_spark.pipeline import extract_any
+
+
+def _extract_one(spark, html: str) -> str:
+    df = spark.createDataFrame([("u", html)], "url string, html_text string")
+    return main_content(df).collect()[0]["main_text"]
+
+
+def test_boilerplate_stripped(spark):
+    html = (
+        "<html><head><title>T</title><script>var x=1;</script><style>p{}</style>"
+        '</head><body><nav><a href="/">Home</a> <a href="/x">More</a></nav>'
+        "<!-- comment -->"
+        '<div>intro text here with <b>bold</b> and <a href="y">one link</a> inside</div>'
+        "<p>main   paragraph two</p>"
+        '<ul><li>point one</li><li><a href="z">linky</a></li></ul>'
+        '<aside><a href="/ad">ad</a></aside>'
+        '<footer>&copy; 2024 <a href="f">contact</a></footer></body></html>'
+    )
+    assert _extract_one(spark, html) == (
+        "intro text here with bold and one link inside\n"
+        "main paragraph two\npoint one"
+    )
+
+
+def test_entities_and_whitespace(spark):
+    html = "<html><body><p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;   f</p></body></html>"
+    assert _extract_one(spark, html) == 'a & b <c> "d" \'e\' f'
+
+
+def test_link_density_filter(spark):
+    nav_like = '<p><a href="1">one</a> <a href="2">two</a> <a href="3">three</a></p>'
+    texty = "<p>this sentence is long enough that its single <a href='d'>anchor</a> stays under the density limit</p>"
+    html = f"<html><body>{nav_like}{texty}</body></html>"
+    out = _extract_one(spark, html)
+    assert "one two three" not in out
+    assert out.startswith("this sentence is long enough")
+
+
+def test_article_fixtures_round_trip(spark):
+    for paras in HTML_ARTICLES:
+        html = article_html(paras).decode("utf-8")
+        assert _extract_one(spark, html) == "\n".join(paras)
+
+
+def test_extract_any_mixed_corpus_byte_identical(spark):
+    """The unified dispatcher recovers ground truth per url for BOTH payload
+    kinds (OCR on DRF images, webtext strip on HTML) — the north rule's
+    byte-identity invariant over a mixed crawl table."""
+    pages = fixtures_df(spark, n_corpus_pages=4)
+    out = extract_any(pages)
+    truth = pages.filter(~F.col("url").contains("/rot-")).select(
+        "url", F.col("text").alias("expected")
+    )
+    joined = out.filter(F.col("error").isNull()).join(truth, "url")
+    bad = joined.filter(F.col("text_out") != F.col("expected")).collect()
+    assert bad == [], bad[:3]
+    kinds = {r["kind"] for r in out.collect()}
+    assert kinds == {"ocr", "html"}
+    # html fixtures took the html branch, not the OCR-error path
+    html_rows = out.filter(F.col("url").contains("html-")).collect()
+    assert all(r["kind"] == "html" and r["error"] is None for r in html_rows)
+
+
+def test_html_branch_is_pure_codegen(spark):
+    """The HTML branch must stay JVM-side: no Python evaluation node in its
+    executed plan."""
+    pages = fixtures_df(spark, n_corpus_pages=2).filter(F.col("url").contains("html-"))
+    df = pages.select(main_content_expr(F.col("html").cast("string")).alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

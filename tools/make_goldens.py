@@ -54,7 +54,8 @@ def main() -> None:
 
     # --- OCR surface (sf-independent: runs on the deterministic fixtures)
     for name in ("ocr_text", "ocr_words", "ocr_layout", "ocr_orientation",
-                 "ocr_hocr", "ocr_errors", "ocr_text_lstm", "ocr_media_metadata"):
+                 "ocr_hocr", "ocr_errors", "ocr_text_lstm", "ocr_media_metadata",
+                 "extract_mixed"):
         fn = Q.REGISTRY[name][0]
         write_golden(fn(spark, SF_DIR), name)
     # (ocr_lines needs no golden: its oracle re-derives the rollup from the
