@@ -195,11 +195,29 @@ def recognize_line_lstm_scored(
     mask: np.ndarray, line: Line, *, decoder: str = "best_path", beam_width: int = 8,
     whitelist: str | None = None, lang: str = "eng"
 ) -> list[tuple[str, float]]:
-    """Per word: (text, confidence). Confidence = mean softmax probability of
-    the emitted (non-blank) frames — the CTC analog of the reference's
-    per-word percentage confidence (src/lib.cpp:302-304). ``whitelist``
-    masks non-whitelisted glyph logits to -inf (tessedit_char_whitelist);
-    ``lang`` selects the glyph model the output layer scores against."""
+    """Single-line form of recognize_page_lstm_scored (same semantics)."""
+    return recognize_page_lstm_scored(
+        mask, [line], decoder=decoder, beam_width=beam_width,
+        whitelist=whitelist, lang=lang,
+    )[0]
+
+
+def recognize_page_lstm_scored(
+    mask: np.ndarray, lines: list[Line], *, decoder: str = "best_path",
+    beam_width: int = 8, whitelist: str | None = None, lang: str = "eng"
+) -> list[list[tuple[str, float]]]:
+    """Per line, per word: (text, confidence) — ONE batched LSTM forward for
+    the whole page (every word of every line steps the recurrence together,
+    so the sequential-T Python loop runs max-word-span times per page instead
+    of per line). Confidence = mean softmax probability of the emitted
+    (non-blank) frames — the CTC analog of the reference's per-word
+    percentage confidence (src/lib.cpp:302-304). ``whitelist`` masks
+    non-whitelisted glyph logits (tessedit_char_whitelist); ``lang`` selects
+    the glyph model the output layer scores against.
+
+    Lines whose decode is not all-frames-exact retry DESC_ROWS higher (the
+    all-descender baseline correction, mirroring recognize.py:181-201) in a
+    second, smaller batch; a retry is accepted only on a perfect decode."""
     lstm, w_out, b_out, chars = build_recognizer(lang)
     blank = len(chars)
     if whitelist:
@@ -208,62 +226,61 @@ def recognize_line_lstm_scored(
             banned = np.array([c not in allowed for c in chars] + [False])
             b_out = b_out.copy()
             b_out[banned] = -1e30
-    out, all_exact = _decode_line(mask, line, line.baseline, lstm, w_out, b_out,
-                                  chars, blank, decoder, beam_width)
-    if not all_exact:
-        # baseline-correction retry, mirroring recognize_words
-        # (recognize.py:181-201): a line whose glyphs are ALL descenders is
-        # anchored DESC_ROWS too low; the font is shift-unique, so the
-        # misalignment shows as non-exact frames (max logit < 0). Retry 3 rows
-        # up and accept only a perfect (all-frames-exact) decode.
+    results, exact = _decode_lines_batch(
+        mask, lines, [line.baseline for line in lines],
+        lstm, w_out, b_out, chars, blank, decoder, beam_width,
+    )
+    retry_idx = [li for li, ok in enumerate(exact) if not ok and lines[li].words]
+    if retry_idx:
         from tesseract_wasm_spark.engine.segment import DESC_ROWS  # noqa: PLC0415
 
-        retry, retry_exact = _decode_line(
-            mask, line, line.baseline - DESC_ROWS, lstm, w_out, b_out,
-            chars, blank, decoder, beam_width,
+        retry_res, retry_ok = _decode_lines_batch(
+            mask, [lines[li] for li in retry_idx],
+            [lines[li].baseline - DESC_ROWS for li in retry_idx],
+            lstm, w_out, b_out, chars, blank, decoder, beam_width,
         )
-        if retry_exact:
-            line.baseline -= DESC_ROWS
-            return retry
-    return out
+        for k, li in enumerate(retry_idx):
+            if retry_ok[k]:
+                results[li] = retry_res[k]
+                lines[li].baseline -= DESC_ROWS
+    return results
 
 
-def _decode_line(
-    mask: np.ndarray, line: Line, baseline: int, lstm, w_out, b_out, chars,
-    blank: int, decoder: str, beam_width: int,
-) -> tuple[list[tuple[str, float]], bool]:
-    """One LSTM+CTC pass over the line at the given baseline anchor.
-
-    Returns (per-word (text, confidence), all_exact) where all_exact means
-    every emitted frame was a bit-exact template hit (max logit == 0 by the
-    recognizer's -hamming construction)."""
+def _decode_lines_batch(
+    mask: np.ndarray, lines: list[Line], baselines: list[int],
+    lstm, w_out, b_out, chars, blank: int, decoder: str, beam_width: int,
+) -> tuple[list[list[tuple[str, float]]], list[bool]]:
+    """One LSTM+CTC pass over every word of the given lines at the given
+    per-line baseline anchors. Returns (per-line word results, per-line
+    all_exact) where all_exact means every emitted frame was a bit-exact
+    template hit (max logit == 0 by the -hamming construction)."""
     h, w = mask.shape
-    r0 = baseline - BASELINE_ROW
-    r1 = r0 + CELL_H
-    sr0, sr1 = max(r0, 0), min(r1, h)
-    out: list[tuple[str, float]] = []
-    if not line.words:
-        return out, True
-    # build all word bands padded to the line's max width; one batched
-    # forward pass covers every word (frames beyond a word's true length are
-    # sliced off before decoding, so padding never reaches the decoder)
-    spans = []
-    for word in line.words:
-        anchor = word.pen_left if word.pen_left >= 0 else word.left
-        width = word.right - anchor + 1
-        n = max(1, -(-width // ADV))
-        spans.append((anchor, n * ADV - 1))  # last glyph's spacer not needed
-    t_max = max(s for _, s in spans)
-    x_all = np.zeros((len(spans), t_max, CELL_H))
-    for bi, (anchor, span) in enumerate(spans):
+    specs: list[tuple[int, int, int, int, int]] = []  # (li, anchor, span, sr0, r0)
+    for li, (line, baseline) in enumerate(zip(lines, baselines)):
+        r0 = baseline - BASELINE_ROW
+        for word in line.words:
+            anchor = word.pen_left if word.pen_left >= 0 else word.left
+            width = word.right - anchor + 1
+            n = max(1, -(-width // ADV))
+            specs.append((li, anchor, n * ADV - 1, r0, li))
+    results: list[list[tuple[str, float]]] = [[] for _ in lines]
+    if not specs:
+        return results, [True] * len(lines)
+    # every word band padded to the page's max span; frames beyond a word's
+    # true length are sliced off before decoding, so padding never reaches
+    # the decoder
+    t_max = max(s for _, _, s, _, _ in specs)
+    x_all = np.zeros((len(specs), t_max, CELL_H))
+    for bi, (li, anchor, span, r0, _) in enumerate(specs):
+        sr0, sr1 = max(r0, 0), min(r0 + CELL_H, h)
         sc0, sc1 = max(anchor, 0), min(anchor + span, w)
         if sr0 < sr1 and sc0 < sc1:
             x_all[bi, sc0 - anchor : sc1 - anchor, sr0 - r0 : sr1 - r0] = (
                 mask[sr0:sr1, sc0:sc1].T
             )
     hidden_all = lstm.forward_batch(x_all)  # [B, T_max, H]
-    all_exact = True
-    for bi, (anchor, span) in enumerate(spans):
+    all_exact = [True] * len(lines)
+    for bi, (li, anchor, span, r0, _) in enumerate(specs):
         logits = hidden_all[bi, :span, :] @ w_out + b_out
         # softmax log-probs. The constructed logits are hamming distances
         # (unit margins); sharpen them so the decoder's probabilities reflect
@@ -282,19 +299,16 @@ def _decode_line(
         if emit.any():
             conf = float(np.exp(log_probs[np.arange(len(path)), path][emit]).mean())
             if logits[np.arange(len(path)), path][emit].min() < -1e-6:
-                all_exact = False
+                all_exact[li] = False
         else:
             conf = 0.0
-            all_exact = False
-        out.append(("".join(chars[s] for s in seq), conf))
-    return out, all_exact
+            all_exact[li] = False
+        results[li].append(("".join(chars[s] for s in seq), conf))
+    return results, all_exact
 
 
 def recognize_page_lstm(mask: np.ndarray, lines: list[Line], **kw) -> str:
     """Full-page text via the LSTM+CTC path (getText contract: line texts end
-    with a newline)."""
-    parts = []
-    for line in lines:
-        words = recognize_line_lstm(mask, line, **kw)
-        parts.append(" ".join(words) + "\n")
-    return "".join(parts)
+    with a newline). One batched recurrence for the whole page."""
+    scored = recognize_page_lstm_scored(mask, lines, **kw)
+    return "".join(" ".join(t for t, _ in words) + "\n" for words in scored)

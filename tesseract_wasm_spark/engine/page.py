@@ -191,13 +191,13 @@ def process_rgba(
         return res
 
     if recognizer == "lstm":
-        # P5 v2 path: LSTM+CTC per line (same downstream WordBox emission)
-        from tesseract_wasm_spark.engine.lstm_ctc import recognize_line_lstm_scored  # noqa: PLC0415
+        # P5 v2 path: LSTM+CTC, one batched recurrence for the whole page
+        # (same downstream WordBox emission)
+        from tesseract_wasm_spark.engine.lstm_ctc import recognize_page_lstm_scored  # noqa: PLC0415
 
-        recognized = [
-            recognize_line_lstm_scored(mask, line, whitelist=whitelist, lang=lang)
-            for line in lines
-        ]
+        recognized = recognize_page_lstm_scored(
+            mask, lines, whitelist=whitelist, lang=lang
+        )
     else:
         recognized = recognize_words(
             mask, lines, whitelist=whitelist, min_partial_overlap=min_overlap, lang=lang
