@@ -327,6 +327,24 @@ def bucket_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str = "doc_i
     )
 
 
+def bucket_stats(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """LSH bucket-size distribution — the skew observable that decides when
+    ``max_bucket`` capping is needed: one row per bucket size with the count
+    of buckets and the quadratic pair cost they induce. At 100 TB this is the
+    table a pipeline operator watches (a degenerate band value shows up as a
+    single giant-size row long before the pair stage OOMs)."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .withColumn(
+            "candidate_pairs",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+             * F.col("n_buckets")).cast("long"),
+        )
+    )
+
+
 def minhash_banded(docs: DataFrame, *, num_perm: int = 64, bands: int = 16,
                    ngram: int = 3, seed: int = 1) -> DataFrame:
     """Fused signatures+banding: ONE vectorized Python pass emits the skinny

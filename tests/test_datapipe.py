@@ -257,6 +257,29 @@ def test_srp_blocked_pairs_on_corpus_embeddings(spark):
     assert bucketed == exact
 
 
+def test_bucket_stats_observability(spark, docs):
+    banded = dedup.minhash_banded(docs)
+    stats = {r["bucket_size"]: r for r in
+             dedup.bucket_stats(banded, ["band_id", "bucket"]).collect()}
+    # the exact-dup cluster (docs 1,2,6) shares every band bucket
+    assert 3 in stats
+    assert stats[3]["candidate_pairs"] == 3 * stats[3]["n_buckets"]
+    total_rows = sum(s["bucket_size"] * s["n_buckets"] for s in stats.values())
+    assert total_rows == banded.count()
+
+
+def test_ivf_kmeans_centroids(spark, embeddings):
+    from tesseract_wasm_spark.datapipe.similarity import brute_force_topk, ivf_topk
+
+    approx = ivf_topk(embeddings, [0, 1], k=3, n_cells=4, nprobe=2,
+                      centroids="kmeans")
+    exact = brute_force_topk(embeddings, [0, 1], k=3)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # clustered data + kmeans cells: high recall of the true top-k
+    assert len(a & e) / len(e) >= 2 / 3
+
+
 def test_minhash_estimate_statistics(spark):
     """MinHash estimator property: |est - exact| small on seeded random docs
     (64 permutations -> s.e. ~= sqrt(j(1-j)/64) <= 0.0625)."""
