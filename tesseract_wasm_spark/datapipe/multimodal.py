@@ -56,6 +56,8 @@ def media_metadata(pages: DataFrame) -> DataFrame:
                 elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                     rec["format"] = "png"
                     rec["decode_error"] = "decoder not available: png"
+                elif raw[:5] == b"%PDF-":
+                    rec["format"] = "pdf"  # text payload: pdftext path
                 elif raw[:1] == b"<" or raw[:9].lower() == b"<!doctype":
                     rec["format"] = "html"  # text payload: webtext path, not an image
                 out.append(rec)

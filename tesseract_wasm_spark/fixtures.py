@@ -118,6 +118,11 @@ def article_html(paras: list[str]) -> bytes:
     return html.encode("utf-8")
 
 
+PDF_PAGE_LINES: list[list[str]] = [
+    ["Quarterly report (draft)", "revenue up 12% vs Q1", "see appendix \\ tables"],
+    ["single page memo", "action items follow"],
+]
+
 TWO_COL_LINES = [
     [
         "the quick brown fox",
@@ -207,6 +212,12 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
     # rejects non-DRF payloads), mirroring a mixed real-world crawl.
     for j, paras in enumerate(HTML_ARTICLES):
         add(f"html-{j}", article_html(paras), "\n".join(paras), 130 + j)
+    # PDF payloads: minimal valid uncompressed-stream PDFs (the third payload
+    # kind extract_any dispatches; extraction = Tj runs in stream order)
+    from tesseract_wasm_spark.datapipe.pdftext import make_simple_pdf  # noqa: PLC0415
+
+    for j, lines in enumerate(PDF_PAGE_LINES):
+        add(f"pdf-{j}", make_simple_pdf(lines), "\n".join(lines), 140 + j)
 
     for i in range(n_corpus_pages):
         # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew

@@ -207,22 +207,30 @@ def extract_any(pages: DataFrame, **ocr_kw) -> DataFrame:
     expressions (no Python at all), the OCR branch is the one-Exchange +
     mapInPandas plan documented in PLANS.md §1."""
     from tesseract_wasm_spark import drf  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.pdftext import pdf_text_expr  # noqa: PLC0415
     from tesseract_wasm_spark.datapipe.webtext import main_content_expr  # noqa: PLC0415
 
     is_drf = F.substring(F.col("html"), 1, len(drf.MAGIC)) == F.lit(drf.MAGIC)
+    is_pdf = F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-")
     ocr_part = ocr_pages(pages.filter(is_drf), **ocr_kw).select(
         "url",
         F.lit("ocr").alias("kind"),
         F.col("page_text").alias("text_out"),
         "error",
     )
-    html_part = pages.filter(~is_drf).select(
+    pdf_part = pages.filter(is_pdf).select(
+        "url",
+        F.lit("pdf").alias("kind"),
+        pdf_text_expr(F.col("html").cast("string")).alias("text_out"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    html_part = pages.filter(~is_drf & ~is_pdf).select(
         "url",
         F.lit("html").alias("kind"),
         main_content_expr(F.col("html").cast("string")).alias("text_out"),
         F.lit(None).cast("string").alias("error"),
     )
-    return ocr_part.unionByName(html_part)
+    return ocr_part.unionByName(pdf_part).unionByName(html_part)
 
 
 def metrics_df(results: DataFrame) -> DataFrame:

@@ -629,6 +629,49 @@ FROM blocks
 """
 
 
+def pdf_text(spark, sf_dir):
+    """PDF text extraction (the north rule's PDF/layout-parse axis): each
+    document's text is embedded as a Tj string in a synthetic uncompressed
+    content stream and the relational extractor (datapipe/pdftext.py) must
+    recover it. The DuckDB oracle builds and parses the SAME stream in SQL —
+    full dual derivation."""
+    from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
+        pdf_escape_expr,
+        pdf_text_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("%PDF-1.4\n4 0 obj\n<< /Length 0 >>\nstream\nBT /F1 12 Tf 72 720 Td\n("),
+        pdf_escape_expr(F.col("text")),
+        F.lit(") Tj 0 -14 Td\n(appendix \\(generated\\)) Tj\nET\nendstream\nendobj\n%%EOF"),
+    )
+    return docs.select("doc_id", pdf_text_expr(page).alias("text_out"))
+
+
+SQL_PDF_TEXT = r"""
+WITH pages AS (
+  SELECT doc_id,
+    '%PDF-1.4' || chr(10) || '4 0 obj' || chr(10) || '<< /Length 0 >>' || chr(10)
+    || 'stream' || chr(10) || 'BT /F1 12 Tf 72 720 Td' || chr(10) || '('
+    || replace(replace(replace(text, chr(92), chr(92) || chr(92)),
+               '(', chr(92) || '('), ')', chr(92) || ')')
+    || ') Tj 0 -14 Td' || chr(10) || '(appendix ' || chr(92) || '(generated'
+    || chr(92) || ')) Tj' || chr(10) || 'ET' || chr(10)
+    || 'endstream' || chr(10) || 'endobj' || chr(10) || '%%EOF' AS p
+  FROM documents
+),
+blocks AS (SELECT doc_id, regexp_extract_all(p, '(?s)BT(.*?)ET', 1) AS bs FROM pages),
+runs AS (SELECT doc_id, flatten(list_transform(bs,
+           b -> regexp_extract_all(b, '(?s)\(((?:[^\\()]|\\.)*)\)\s*Tj', 1))) AS rs
+         FROM blocks)
+SELECT doc_id, array_to_string(list_transform(rs,
+  s -> replace(replace(replace(s, chr(92) || '(', '('), chr(92) || ')', ')'),
+               chr(92) || chr(92), chr(92))), chr(10)) AS text_out
+FROM runs
+"""
+
+
 def extract_mixed(spark, sf_dir):
     """Unified extraction over the mixed fixture corpus (DRF images -> OCR,
     HTML payloads -> webtext strip); errors stay values. Golden-snapshot
@@ -920,6 +963,7 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_rolling_fp": (text_rolling_fp, SQL_TEXT_ROLLING_FP),
     "html_main_text": (html_main_text, SQL_HTML_MAIN_TEXT),
+    "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)

@@ -1,0 +1,60 @@
+"""PDF text extraction tests (the PDF/layout-parse axis of the extraction
+tier): minimal-PDF generation, relational Tj-run extraction, escapes, and the
+extract_any dispatch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tesseract_wasm_spark.datapipe.pdftext import (
+    make_simple_pdf,
+    pdf_text,
+    pdf_text_expr,
+)
+from tesseract_wasm_spark.fixtures import PDF_PAGE_LINES, fixtures_df
+from tesseract_wasm_spark.pipeline import extract_any
+
+
+def _extract_one(spark, pdf_bytes: bytes) -> str:
+    df = spark.createDataFrame(
+        [("u", pdf_bytes.decode("ascii"))], "url string, pdf_text_raw string"
+    )
+    return pdf_text(df).collect()[0]["text_out"]
+
+
+def test_simple_pdf_round_trip(spark):
+    lines = ["hello world", "line (two) with \\ backslash", "third"]
+    assert _extract_one(spark, make_simple_pdf(lines)) == "\n".join(lines)
+
+
+def test_pdf_structure_is_valid_enough():
+    pdf = make_simple_pdf(["a"])
+    assert pdf.startswith(b"%PDF-1.4")
+    assert b"stream" in pdf and b"endstream" in pdf
+    assert pdf.rstrip().endswith(b"%%EOF")
+    assert pdf.count(b" 0 obj") == 5 and pdf.count(b"endobj") == 5
+
+
+def test_fixture_pdfs_round_trip(spark):
+    for lines in PDF_PAGE_LINES:
+        assert _extract_one(spark, make_simple_pdf(lines)) == "\n".join(lines)
+
+
+def test_extract_any_routes_pdf(spark):
+    pages = fixtures_df(spark, n_corpus_pages=2)
+    out = extract_any(pages)
+    pdf_rows = {r["url"].rsplit("/", 1)[-1]: r for r in
+                out.filter(F.col("kind") == "pdf").collect()}
+    assert set(pdf_rows) == {"pdf-0", "pdf-1"}
+    truth = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in
+             pages.filter(F.col("url").contains("pdf-")).collect()}
+    for name, row in pdf_rows.items():
+        assert row["error"] is None
+        assert row["text_out"] == truth[name]
+
+
+def test_pdf_branch_is_pure_codegen(spark):
+    pages = fixtures_df(spark, n_corpus_pages=2).filter(F.col("url").contains("pdf-"))
+    df = pages.select(pdf_text_expr(F.col("html").cast("string")).alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

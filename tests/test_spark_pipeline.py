@@ -30,7 +30,7 @@ def _ok_urls(url_col):
     # OCR surface (their byte identity is pinned in tests/test_webtext.py)
     return ~(
         url_col.contains("rot-") | url_col.contains("bad-")
-        | url_col.contains("zero-") | url_col.contains("html-")
+        | url_col.contains("zero-") | url_col.contains("html-") | url_col.contains("pdf-")
     )
 
 
@@ -56,6 +56,8 @@ def test_errors_as_values(results):
         "zero-dim": "Image width or height is zero",
         "html-0": "Unsupported image format",
         "html-1": "Unsupported image format",
+        "pdf-0": "Unsupported image format",
+        "pdf-1": "Unsupported image format",
     }
 
 
@@ -134,7 +136,7 @@ def test_metrics_lineage(results):
     m = metrics_df(results).collect()
     assert sum(r["pages"] for r in m) == results.count()
     assert all(r["partition_id"] >= 0 for r in m)
-    assert sum(r["errors"] for r in m) == 4  # 2 bad payloads + 2 html pages
+    assert sum(r["errors"] for r in m) == 6  # 2 bad + 2 html + 2 pdf payloads
 
 
 def test_rebalance_partitioning(spark, pages):

@@ -67,7 +67,7 @@ def test_extract_any_mixed_corpus_byte_identical(spark):
     bad = joined.filter(F.col("text_out") != F.col("expected")).collect()
     assert bad == [], bad[:3]
     kinds = {r["kind"] for r in out.collect()}
-    assert kinds == {"ocr", "html"}
+    assert kinds == {"ocr", "html", "pdf"}
     # html fixtures took the html branch, not the OCR-error path
     html_rows = out.filter(F.col("url").contains("html-")).collect()
     assert all(r["kind"] == "html" and r["error"] is None for r in html_rows)
