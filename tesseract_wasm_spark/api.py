@@ -32,14 +32,18 @@ _UNITS = ("word", "line")
 class OCREngine:
     """Stateful page engine (reference: src/ocr-engine.ts:91-338).
 
-    The "model" is the deterministic glyph font; loadModel accepts any bytes
-    whose sha-prefix matches the built-in font manifest — standing in for the
-    reference's .traineddata blob (src/lib.cpp:133-148). In the distributed
-    pipeline the same bytes travel as a Spark broadcast (SURVEY.md §2.1 S4).
+    The "model" is a validated blob identifying (and integrity-sealing) a
+    language's glyph table — the .traineddata analog (font.export_model /
+    font.parse_model; reference loads traineddata bytes and rejects malformed
+    data with "Text recognition model failed to load", src/lib.cpp:133-148,
+    src/ocr-engine.ts:152-165). Loading a model selects the recognition
+    language; in the distributed pipeline the same selection happens per row
+    via the lang column (SURVEY.md §2.1 S4).
     """
 
     def __init__(self) -> None:
         self._model_loaded = False
+        self._lang = "eng"
         self._image: np.ndarray | None = None
         self._result: PageResult | None = None
         self._layout_result: PageResult | None = None
@@ -47,9 +51,16 @@ class OCREngine:
 
     # --- model / image lifecycle -------------------------------------
     def loadModel(self, model: bytes) -> None:
+        from tesseract_wasm_spark.font import parse_model  # noqa: PLC0415
+
         if not isinstance(model, (bytes, bytearray)) or len(model) == 0:
             raise ValueError(ERR_MODEL_LOAD)
+        try:
+            self._lang = parse_model(model)
+        except ValueError as exc:
+            raise ValueError(ERR_MODEL_LOAD) from exc
         self._model_loaded = True
+        self._result = None  # a new model invalidates recognition results
 
     def loadImage(self, image) -> None:
         """Accepts uint8[H,W,4] ndarray, DRF bytes, or an ImageData-style dict
@@ -128,7 +139,7 @@ class OCREngine:
                     on_progress(pct)
             self._result = process_rgba(
                 img, with_text=True, with_orientation=True,
-                variables=self._variables.as_dict(),
+                variables=self._variables.as_dict(), lang=self._lang,
             )
         if on_progress:
             on_progress(100)

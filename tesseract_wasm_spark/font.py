@@ -166,6 +166,54 @@ def template_matrix(lang: str = DEFAULT_LANG) -> tuple[np.ndarray, str]:
     return mat, chars
 
 
+# --- model blob (the .traineddata analog) ----------------------------------
+
+MODEL_MAGIC = b"TWSM1"
+
+
+def _model_digest(lang: str) -> bytes:
+    """Checksum of the language's full glyph table — the blob's integrity
+    seal (a truncated/garbage blob must fail to load, like the reference's
+    traineddata validation)."""
+    table = glyph_table(lang)
+    h = hashlib.sha256()
+    for ch in sorted(table):
+        h.update(ch.encode("utf-8"))
+        h.update(table[ch].tobytes())
+    return h.digest()
+
+
+def export_model(lang: str = DEFAULT_LANG) -> bytes:
+    """Serialize the language model as a validated blob — the project's
+    .traineddata analog (the reference ships eng.traineddata bytes into
+    loadModel, src/ocr-engine.ts:152-165). Layout: magic | lang-length |
+    lang utf-8 | sha256(glyph table). The glyph bitmaps themselves are a
+    pure function of (lang), so the blob carries identity + integrity, and
+    at cluster scale it is what a Spark broadcast would carry."""
+    if lang not in LANG_CHARSETS:
+        raise ValueError(f"unknown language model: {lang}")
+    lang_b = lang.encode("utf-8")
+    return MODEL_MAGIC + bytes([len(lang_b)]) + lang_b + _model_digest(lang)
+
+
+def parse_model(blob: bytes) -> str:
+    """Validate a model blob and return its language key; raises ValueError
+    on any malformed/garbage/corrupt input (reference: "Text recognition
+    model failed to load")."""
+    blob = bytes(blob)
+    if len(blob) < len(MODEL_MAGIC) + 1 or blob[: len(MODEL_MAGIC)] != MODEL_MAGIC:
+        raise ValueError("bad model magic")
+    n = blob[len(MODEL_MAGIC)]
+    off = len(MODEL_MAGIC) + 1
+    lang = blob[off : off + n].decode("utf-8", errors="replace")
+    if lang not in LANG_CHARSETS:
+        raise ValueError(f"unknown language model: {lang}")
+    digest = blob[off + n :]
+    if digest != _model_digest(lang):
+        raise ValueError("model checksum mismatch")
+    return lang
+
+
 def glyph_ink_width(ch: str, lang: str = DEFAULT_LANG) -> int:
     """Rightmost ink column + 1 (used to compute word ink widths in tests)."""
     cell = glyph_table(lang)[ch]

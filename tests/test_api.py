@@ -9,9 +9,10 @@ import pytest
 from tesseract_wasm_spark import drf
 from tesseract_wasm_spark.api import createOCREngine
 from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES, expected_text
+from tesseract_wasm_spark.font import export_model
 from tesseract_wasm_spark.raster import render_page
 
-MODEL = b"twspark-font-v1"
+MODEL = export_model()
 
 
 @pytest.fixture()
@@ -46,6 +47,30 @@ def test_model_errors_before_load(engine):
     assert len(engine.getBoundingBoxes("word")) > 0
 
 
+def test_model_validation(engine):
+    """The reference rejects malformed traineddata with 'Text recognition
+    model failed to load' (src/ocr-engine.ts:152-165); our blob is validated
+    the same way (magic + language + checksum)."""
+    for bad in (b"", b"garbage bytes", b"TWSM1\x03engXXXX", MODEL[:-1] + b"\x00"):
+        with pytest.raises(ValueError, match="Text recognition model failed to load"):
+            engine.loadModel(bad)
+    engine.loadModel(MODEL)  # valid blob loads fine
+
+
+def test_model_selects_language(engine):
+    """Loading the 'deu' model makes the sequential engine read umlauts —
+    the API-level form of the pipeline's per-row lang dispatch."""
+    from tesseract_wasm_spark.fixtures import DEU_PAGE_LINES
+
+    lines = DEU_PAGE_LINES[1]
+    engine.loadImage(render_page(lines, lang="deu"))
+    engine.loadModel(export_model("deu"))
+    assert engine.getText() == expected_text(lines)
+    # switching back to eng changes recognition (umlauts unreadable)
+    engine.loadModel(MODEL)
+    assert engine.getText() != expected_text(lines)
+
+
 def test_bad_image_data_messages(engine):
     # reference: test/ocr-engine-test.js:63-85
     with pytest.raises(ValueError, match="Image data length does not match width/height"):
@@ -62,7 +87,7 @@ def test_oversized_image_data_accepted(engine):
     h, w = img.shape[:2]
     padded = img.tobytes() + b"\xff" * 64
     engine.loadImage({"data": padded, "width": w, "height": h})
-    engine.loadModel(b"font")
+    engine.loadModel(MODEL)
     assert engine.getText() == expected_text(SMALL_PAGE_LINES[:2])
 
 

@@ -12,6 +12,7 @@ from tesseract_wasm_spark.engine.page import _despeckle, process_rgba
 from tesseract_wasm_spark.engine.segment import find_blocks
 from tesseract_wasm_spark.fixtures import TWO_COL_LINES, expected_text
 from tesseract_wasm_spark.raster import render_columns, render_page
+from tesseract_wasm_spark.font import export_model
 
 
 def _comps(img):
@@ -55,7 +56,7 @@ def test_two_column_hocr_has_two_careas():
     from tesseract_wasm_spark.api import createOCREngine
 
     eng = createOCREngine()
-    eng.loadModel(b"font")
+    eng.loadModel(export_model())
     eng.loadImage(render_columns(TWO_COL_LINES))
     h = eng.getHOCR()
     assert "id='block_1_1'" in h and "id='block_1_2'" in h
@@ -81,6 +82,6 @@ def test_hocr_df_matches_engine_twin_on_two_col(spark):
     rows = hocr_df(ocr_pages(pages)).filter(F.col("url").endswith("two-col")).collect()
     assert len(rows) == 1
     eng = createOCREngine()
-    eng.loadModel(b"font")
+    eng.loadModel(export_model())
     eng.loadImage(render_columns(TWO_COL_LINES))
     assert rows[0]["hocr"] == eng.getHOCR()

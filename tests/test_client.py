@@ -8,6 +8,7 @@ import pytest
 from tesseract_wasm_spark.client import OCRClient
 from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES, expected_text
 from tesseract_wasm_spark.raster import render_page
+from tesseract_wasm_spark.font import export_model
 
 
 @pytest.fixture()
@@ -18,7 +19,7 @@ def client():
 
 
 def test_async_text_and_boxes(client):
-    client.loadModel(b"font").result()
+    client.loadModel(export_model()).result()
     client.loadImage(render_page(SMALL_PAGE_LINES)).result()
     assert client.getText().result() == expected_text(SMALL_PAGE_LINES)
     words = client.getTextBoxes("word").result()
@@ -29,14 +30,14 @@ def test_async_text_and_boxes(client):
 
 
 def test_async_errors_propagate(client):
-    client.loadModel(b"font").result()
+    client.loadModel(export_model()).result()
     fut = client.getText()
     with pytest.raises(ValueError, match="No image loaded"):
         fut.result()
 
 
 def test_async_progress_channel(client):
-    client.loadModel(b"font").result()
+    client.loadModel(export_model()).result()
     client.loadImage(render_page(["hello world"])).result()
     seen: list[int] = []
     client.getText(seen.append).result()
@@ -46,6 +47,6 @@ def test_async_progress_channel(client):
 def test_calls_execute_in_order(client):
     # no awaiting between calls — the worker serializes them (reference
     # comlink proxy semantics)
-    client.loadModel(b"font")
+    client.loadModel(export_model())
     client.loadImage(render_page(["ordered execution"]))
     assert client.getText().result() == "ordered execution\n"

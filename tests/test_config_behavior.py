@@ -11,11 +11,12 @@ from tesseract_wasm_spark.api import createOCREngine
 from tesseract_wasm_spark.engine.page import process_rgba
 from tesseract_wasm_spark.font import REPLACEMENT_CHAR
 from tesseract_wasm_spark.raster import render_page
+from tesseract_wasm_spark.font import export_model
 
 
 def _engine(img):
     eng = createOCREngine()
-    eng.loadModel(b"font")
+    eng.loadModel(export_model())
     eng.loadImage(img)
     return eng
 

@@ -16,6 +16,7 @@ from tesseract_wasm_spark.engine.otsu import binarize
 from tesseract_wasm_spark.engine.page import _despeckle, process_page, process_rgba
 from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES, _seeded_lines, expected_text
 from tesseract_wasm_spark.raster import render_page, render_page_drf
+from tesseract_wasm_spark.font import export_model
 
 
 def test_clean_page_detects_zero():
@@ -77,7 +78,7 @@ def test_hocr_baseline_slope_records_scan_skew():
     from tesseract_wasm_spark.api import createOCREngine
 
     eng = createOCREngine()
-    eng.loadModel(b"font")
+    eng.loadModel(export_model())
     eng.loadImage(render_page(SMALL_PAGE_LINES[:3], skew_per_mille=17))
     h = eng.getHOCR()
     assert "baseline 0.017 " in h

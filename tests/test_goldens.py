@@ -11,6 +11,7 @@ from tesseract_wasm_spark.api import createOCREngine
 from tesseract_wasm_spark.engine.page import process_page
 from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES
 from tesseract_wasm_spark.raster import render_page, render_page_drf
+from tesseract_wasm_spark.font import export_model
 
 GOLDEN = Path(__file__).parent / "golden"
 
@@ -29,6 +30,6 @@ def test_words_golden_exact():
 
 def test_hocr_golden_byte_identical():
     eng = createOCREngine()
-    eng.loadModel(b"font")
+    eng.loadModel(export_model())
     eng.loadImage(render_page(SMALL_PAGE_LINES))
     assert eng.getHOCR() == (GOLDEN / "small-page.hocr.html").read_text()

@@ -10,6 +10,7 @@ from tesseract_wasm_spark import outputs as O
 from tesseract_wasm_spark.fixtures import fixtures_df
 from tesseract_wasm_spark.pipeline import metrics_df, ocr_pages
 from tesseract_wasm_spark.scale import run_with_resume
+from tesseract_wasm_spark.font import export_model
 
 
 @pytest.fixture(scope="module")
@@ -127,7 +128,7 @@ def test_hocr_empty_page_document(results):
     rows = O.hocr_df(results).filter(F.col("url").contains("empty-100x100")).collect()
     assert len(rows) == 1
     eng = createOCREngine()
-    eng.loadModel(b"font")
+    eng.loadModel(export_model())
     eng.loadImage(empty_page(100, 100))
     assert rows[0]["hocr"] == eng.getHOCR()
 
