@@ -53,6 +53,29 @@ def test_extract_any_routes_pdf(spark):
         assert row["text_out"] == truth[name]
 
 
+def test_flatedecode_streams(spark):
+    """Real-world PDFs carry FlateDecode-compressed content streams; the
+    byte-level path inflates and extracts them (and also handles the
+    uncompressed fixtures identically)."""
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes, pdf_pages_text
+
+    lines = ["compressed stream line one", "and (two) \\ with escapes"]
+    comp = make_simple_pdf(lines, compress=True)
+    assert b"/FlateDecode" in comp and b"BT" not in comp.split(b"stream")[1][:50]
+    assert extract_pdf_bytes(comp) == "\n".join(lines)
+    assert extract_pdf_bytes(make_simple_pdf(lines)) == "\n".join(lines)
+    # corrupt compressed body: error-as-value (empty text, no exception)
+    broken = comp.replace(b"stream\n", b"stream\nXX", 1)
+    assert extract_pdf_bytes(broken) == ""
+    # distributed form over mixed compressed/uncompressed payloads
+    df = spark.createDataFrame(
+        [("u1", bytearray(comp)), ("u2", bytearray(make_simple_pdf(lines)))],
+        "url string, html binary",
+    )
+    got = {r["url"]: r["text_out"] for r in pdf_pages_text(df).collect()}
+    assert got == {"u1": "\n".join(lines), "u2": "\n".join(lines)}
+
+
 def test_pdf_branch_is_pure_codegen(spark):
     pages = fixtures_df(spark, n_corpus_pages=2).filter(F.col("url").contains("pdf-"))
     df = pages.select(pdf_text_expr(F.col("html").cast("string")).alias("t"))
