@@ -35,23 +35,32 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output dir (results/ + metrics/)")
     ap.add_argument("--layout-only", action="store_true",
                     help="skip recognition (reference getBoundingBoxes path)")
+    ap.add_argument("--mode", choices=("ocr", "mixed"), default="ocr",
+                    help="ocr: DRF pages through the OCR engine (default); "
+                         "mixed: dispatch every payload kind "
+                         "(DRF->OCR, PDF->pdftext, HTML->webtext)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under a real cluster master)")
     args = ap.parse_args()
 
-    from tesseract_wasm_spark.scale import run_with_resume
+    from tesseract_wasm_spark.scale import run_extract_with_resume, run_with_resume
     from tesseract_wasm_spark.session import get_spark
 
     spark = get_spark("twspark-extract", cores=args.cores)
     pages = spark.read.parquet(args.input)
-    summary = run_with_resume(
-        spark,
-        pages,
-        args.output,
-        with_text=not args.layout_only,
-        num_partitions=args.partitions,
-    )
+    if args.mode == "mixed":
+        summary = run_extract_with_resume(
+            spark, pages, args.output, num_partitions=args.partitions
+        )
+    else:
+        summary = run_with_resume(
+            spark,
+            pages,
+            args.output,
+            with_text=not args.layout_only,
+            num_partitions=args.partitions,
+        )
     print(json.dumps(summary), file=sys.stderr)
     spark.stop()
 

@@ -18,7 +18,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tesseract_wasm_spark.pipeline import metrics_df, ocr_pages
+from tesseract_wasm_spark.pipeline import extract_any, metrics_df, ocr_pages
 
 
 def write_table(df: DataFrame, path: str, *, fmt: str | None = None) -> None:
@@ -83,3 +83,38 @@ def run_with_resume(
     errors = res.filter(F.col("error").isNotNull()).count()
     res.unpersist()
     return {"run_id": run_id, "pages": n, "errors": errors, "resumed": done is not None}
+
+
+def run_extract_with_resume(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    num_partitions: int | None = None,
+) -> dict:
+    """The MIXED-payload main-content pipeline (pipeline.extract_any: DRF ->
+    OCR, PDF -> pdftext, HTML -> webtext) under the same checkpoint-resume
+    contract: results keyed by url at ``{out_dir}/extracted``, anti-join on
+    completed urls, idempotent partition replay. Per-kind counts land in the
+    summary; per-partition lineage for the heavy OCR branch stays available
+    via the run_with_resume path (the HTML/PDF branches are pure expressions
+    with no Python stage to instrument)."""
+    path = f"{out_dir}/extracted"
+    run_id = uuid.uuid4().hex
+    done = completed_urls(spark, path, mode="extract")
+    todo = pages if done is None else pages.join(done, "url", "left_anti")
+
+    res = extract_any(todo, num_partitions=num_partitions).persist()
+    n = res.count()
+    if n == 0:
+        res.unpersist()
+        return {"run_id": run_id, "pages": 0, "resumed": done is not None}
+    write_table(
+        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit("extract")),
+        path,
+    )
+    kinds = {r["kind"]: r["n"] for r in res.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    errors = res.filter(F.col("error").isNotNull()).count()
+    res.unpersist()
+    return {"run_id": run_id, "pages": n, "errors": errors, "kinds": kinds,
+            "resumed": done is not None}

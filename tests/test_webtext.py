@@ -73,6 +73,22 @@ def test_extract_any_mixed_corpus_byte_identical(spark):
     assert all(r["kind"] == "html" and r["error"] is None for r in html_rows)
 
 
+def test_mixed_extraction_resume(spark, tmp_path):
+    """The mixed-payload pipeline honors the same checkpoint-resume contract
+    as the OCR job: anti-join on completed urls, idempotent replay."""
+    from tesseract_wasm_spark.scale import run_extract_with_resume
+
+    pages = fixtures_df(spark, n_corpus_pages=2)
+    out = str(tmp_path / "mx")
+    s1 = run_extract_with_resume(spark, pages, out)
+    assert s1["pages"] == pages.count() and s1["resumed"] is False
+    assert set(s1["kinds"]) == {"ocr", "html", "pdf"}
+    s2 = run_extract_with_resume(spark, pages, out)
+    assert s2["pages"] == 0 and s2["resumed"] is True
+    res = spark.read.parquet(f"{out}/extracted")
+    assert res.count() == res.select("url").distinct().count() == pages.count()
+
+
 def test_html_branch_is_pure_codegen(spark):
     """The HTML branch must stay JVM-side: no Python evaluation node in its
     executed plan."""
