@@ -60,6 +60,33 @@ def ocr_stream(
     return writer.start()
 
 
+def extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous MIXED-payload extraction: new page files -> (url, kind,
+    text_out, error) parquet, dispatching DRF/PDF/HTML exactly like the batch
+    pipeline.extract_any (the union of pruned branches composes with
+    Structured Streaming because every branch is stateless per row)."""
+    from tesseract_wasm_spark.pipeline import extract_any  # noqa: PLC0415
+
+    pages = read_pages_stream(spark, input_path)
+    results = extract_any(pages, rebalance=False)
+    writer = (
+        results.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ingest_metrics_stream(
     spark: SparkSession,
     input_path: str,

@@ -39,6 +39,31 @@ def test_stream_available_now_and_incremental(spark, tmp_path):
     assert res2.select("url").distinct().count() == pages.count()
 
 
+def test_extract_stream_mixed_payloads(spark, tmp_path):
+    """The mixed-payload dispatcher composes with Structured Streaming:
+    drained output covers all three kinds and matches ground truth for the
+    non-OCR-error rows."""
+    from tesseract_wasm_spark.streaming import extract_stream
+
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    pages = fixtures_df(spark, n_corpus_pages=2)
+    pages.write.mode("append").parquet(in_dir)
+
+    q = extract_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    res = spark.read.parquet(out_dir)
+    assert res.count() == pages.count()
+    assert {r["kind"] for r in res.select("kind").distinct().collect()} == {
+        "ocr", "pdf", "html",
+    }
+    truth = {r["url"]: r["text"] for r in pages.collect()}
+    ok_rows = res.filter(F.col("error").isNull() & ~F.col("url").contains("/rot-")).collect()
+    for r in ok_rows:
+        assert r["text_out"] == truth[r["url"]], r["url"]
+
+
 def test_ingest_metrics_stream_watermark(spark, tmp_path):
     from tesseract_wasm_spark.streaming import ingest_metrics_stream
 
