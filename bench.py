@@ -180,6 +180,12 @@ def _queries_worker(cores: int) -> dict:
     return timings
 
 
+def _r3(x: float):
+    """round(x, 3), with NaN (a skipped secondary measurement under the time
+    guard) mapped to None so the output line stays strict JSON."""
+    return None if x != x else round(x, 3)
+
+
 def _run_sub(mode: str, cores: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", mode, str(cores)],
@@ -305,14 +311,25 @@ def main() -> None:
     med = {c: statistics.median(r["pages_per_sec"] for r in rs) for c, rs in runs.items()}
     med_adj = {c: statistics.median(r["pages_per_sec_adj"] for r in rs) for c, rs in runs.items()}
     ocr = {c: min(rs, key=lambda r: abs(r["pages_per_sec"] - med[c])) for c, rs in runs.items()}
-    for c in (8, CPUS):  # saturated pair: single shot (time budget)
-        ocr[c] = _run_sub("ocr", c)
+    # graceful degradation under a slow host window: the headline pair and
+    # the query table must always land inside the driver's ~10 min budget;
+    # the secondary 8/32 pair and the standalone controls are droppable.
+    elapsed = lambda: time.monotonic() - t_start  # noqa: E731
+    if elapsed() < 400:
+        for c in (8, CPUS):  # saturated pair: single shot (time budget)
+            ocr[c] = _run_sub("ocr", c)
+        eff_sat = (ocr[CPUS]["pages_per_sec"] / ocr[8]["pages_per_sec"]) / (CPUS / 8)
+    else:
+        eff_sat = float("nan")
     eff_unsat = (med[16] / med[4]) / 4.0
     eff_adj = (med_adj[16] / med_adj[4]) / 4.0
     spin_unsat = statistics.median(spin_pair_effs)
-    eff_sat = (ocr[CPUS]["pages_per_sec"] / ocr[8]["pages_per_sec"]) / (CPUS / 8)
-    spin = _spin_control()
-    engine = _engine_control()
+    if elapsed() < 460:
+        spin = _spin_control()
+        engine = _engine_control()
+    else:
+        spin = {"efficiency": float("nan")}
+        engine = {"efficiency": float("nan")}
     queries = _run_sub("queries", CPUS)
     _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries,
                        spin_unsat=spin_unsat, n_runs=len(runs[4]),
@@ -341,9 +358,9 @@ def main() -> None:
                 "scaling_vs_host_ceiling_4_to_16": round(
                     eff_unsat / spin_unsat if spin_unsat else 0.0, 3
                 ),
-                "scaling_efficiency_8_to_32": round(eff_sat, 3),
-                "engine_control_efficiency_4_to_16": round(engine["efficiency"], 3),
-                "spin_control_efficiency_8_to_32": round(spin["efficiency"], 3),
+                "scaling_efficiency_8_to_32": _r3(eff_sat),
+                "engine_control_efficiency_4_to_16": _r3(engine["efficiency"]),
+                "spin_control_efficiency_8_to_32": _r3(spin["efficiency"]),
             }
         )
     )
