@@ -37,14 +37,15 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame) -> DataFrame:
+def language_id(docs: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Marker-stopword language heuristic: count per-language marker hits,
-    argmax with deterministic tie-break by language code."""
+    argmax with deterministic tie-break by language code. ``extra_cols``
+    pass through (e.g. a block position for per-block classification)."""
     txt = F.lower(F.col("text"))
     scores = [
         _count_matches(txt, pat).alias(f"score_{lang}") for lang, pat in LANG_MARKERS.items()
     ]
-    scored = docs.select("doc_id", "lang", *scores)
+    scored = docs.select("doc_id", "lang", *extra_cols, *scores)
     langs = list(LANG_MARKERS)
     # argmax via greatest + chained CASE (ties -> alphabetically first lang)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])

@@ -53,12 +53,17 @@ def _block_text(seg: Column) -> Column:
     return F.trim(F.regexp_replace(txt, r"\s+", " "))
 
 
-def main_content_expr(html: Column) -> Column:
-    """html string -> extracted main text (blocks joined with newlines)."""
+def _strip_containers(html: Column) -> Column:
+    """Comments + whole-element boilerplate containers removed."""
     h = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
     for tag in _CONTAINER_TAGS:
         h = F.regexp_replace(h, rf"(?is)<{tag}\b.*?</{tag}>", " ")
-    segs = F.split(h, _BLOCK_SPLIT)
+    return h
+
+
+def main_content_expr(html: Column) -> Column:
+    """html string -> extracted main text (blocks joined with newlines)."""
+    segs = F.split(_strip_containers(html), _BLOCK_SPLIT)
     blocks = F.transform(
         segs,
         lambda s: F.struct(
@@ -85,6 +90,49 @@ def main_content(docs: DataFrame, *, html_col: str = "html_text",
     return docs.select(
         id_col, main_content_expr(F.col(html_col)).alias("main_text")
     )
+
+
+def main_content_blocks(docs: DataFrame, *, html_col: str = "html_text",
+                        id_col: str = "url") -> DataFrame:
+    """Exploded per-block view of the extraction: (id, block_pos, block_text)
+    for every kept block — the granularity for per-block analyses (language
+    mix inside one page, per-block quality scoring)."""
+    blocks = F.split(_strip_containers(F.col(html_col)), _BLOCK_SPLIT)
+    kept = F.filter(
+        F.transform(
+            blocks,
+            lambda s: F.struct(
+                _block_text(s).alias("txt"),
+                F.coalesce(
+                    F.length(F.array_join(F.regexp_extract_all(s, F.lit(_ANCHOR_TEXT), 1), "")),
+                    F.lit(0),
+                ).alias("link_len"),
+            ),
+        ),
+        lambda b: (b["txt"] != "") & (b["link_len"] * 3 <= F.length(b["txt"])),
+    )
+    return docs.select(
+        id_col, F.posexplode(F.transform(kept, lambda b: b["txt"])).alias("block_pos", "block_text")
+    )
+
+
+def block_languages(docs: DataFrame, *, html_col: str = "html_text",
+                    id_col: str = "url") -> DataFrame:
+    """Per-block language ID over extracted main-content blocks — detects
+    mixed-language pages that a whole-document classifier averages away.
+    Pure composition: main_content_blocks × textstats.language_id's marker
+    heuristic (all JVM expressions)."""
+    from tesseract_wasm_spark.datapipe.textstats import language_id  # noqa: PLC0415
+
+    blocks = main_content_blocks(docs, html_col=html_col, id_col=id_col)
+    scored = language_id(
+        blocks.select(
+            F.col(id_col).alias("doc_id"), "block_pos",
+            F.col("block_text").alias("text"), F.lit("?").alias("lang"),
+        ),
+        extra_cols=("block_pos",),
+    )
+    return scored.select(F.col("doc_id").alias(id_col), "block_pos", "pred_lang")
 
 
 def html_escape_expr(text: Column) -> Column:

@@ -73,6 +73,24 @@ def test_extract_any_mixed_corpus_byte_identical(spark):
     assert all(r["kind"] == "html" and r["error"] is None for r in html_rows)
 
 
+def test_block_languages_detect_mixed_page(spark):
+    """Per-block language ID catches a mixed-language page that a
+    whole-document classifier would average away."""
+    from tesseract_wasm_spark.datapipe.webtext import block_languages, main_content_blocks
+
+    html = ("<html><body>"
+            "<p>the cat and the dog went to the park for the day</p>"
+            "<p>der hund und die katze sind nicht mit der maus</p>"
+            "<p>le chat et la souris sont dans la maison pour le jour</p>"
+            "</body></html>")
+    df = spark.createDataFrame([("u", html)], "url string, html_text string")
+    blocks = main_content_blocks(df).collect()
+    assert [r["block_pos"] for r in blocks] == sorted(r["block_pos"] for r in blocks)
+    assert len(blocks) == 3
+    langs = {r["block_pos"]: r["pred_lang"] for r in block_languages(df).collect()}
+    assert [langs[k] for k in sorted(langs)] == ["en", "de", "fr"]
+
+
 def test_mixed_extraction_resume(spark, tmp_path):
     """The mixed-payload pipeline honors the same checkpoint-resume contract
     as the OCR job: anti-join on completed urls, idempotent replay."""
