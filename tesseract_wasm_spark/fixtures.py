@@ -218,6 +218,15 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
 
     for j, lines in enumerate(PDF_PAGE_LINES):
         add(f"pdf-{j}", make_simple_pdf(lines), "\n".join(lines), 140 + j)
+    # FlateDecode-compressed content streams — the dominant real-world PDF
+    # shape; extraction must inflate, not silently return '' (byte-level path)
+    for j, lines in enumerate(PDF_PAGE_LINES):
+        add(f"pdfz-{j}", make_simple_pdf(lines, compress=True), "\n".join(lines), 150 + j)
+    # recognized-but-undecodable image containers (no codecs in this
+    # environment): extract_any must emit explicit 'decoder not available'
+    # error rows, never silent empty-html rows
+    add("img-png", b"\x89PNG\r\n\x1a\n" + bytes(64), "", 155)
+    add("img-jpeg", b"\xff\xd8\xff\xe0" + bytes(64), "", 156)
 
     for i in range(n_corpus_pages):
         # heavy-tailed page sizes: ~1/8 of pages are 5-10x larger (the skew

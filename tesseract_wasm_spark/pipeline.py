@@ -195,42 +195,120 @@ def ocr_pages(
     return src.mapInPandas(run, schema=RESULT_DDL)
 
 
-def extract_any(pages: DataFrame, **ocr_kw) -> DataFrame:
+EXTRACT_DDL = "url string, kind string, text_out string, error string"
+
+
+def extract_any(
+    pages: DataFrame,
+    *,
+    recognizer: str = "template",
+    variables: dict[str, str] | None = None,
+    rebalance: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Unified main-content extraction over a mixed Common-Crawl-style table:
-    dispatch per payload — DRF page images go through the OCR engine, HTML
-    payloads through the relational boilerplate-strip extractor
-    (datapipe/webtext.py). Returns (url, kind, text_out, error); errors stay
+    dispatch per payload — DRF page images through the OCR engine, PDFs
+    through the byte-level stream parser (handles FlateDecode, the real-world
+    shape), HTML through the relational boilerplate-strip extractor
+    (datapipe/webtext.py), and known-but-undecodable image formats (PNG/JPEG)
+    to explicit error rows. Returns (url, kind, text_out, error); errors stay
     values (a bad payload must not kill a 10^12-row job).
 
-    The dispatch predicate is a binary prefix test, so Catalyst splits the
-    scan into two pruned branches; the HTML branch is pure whole-stage-codegen
-    expressions (no Python at all), the OCR branch is the one-Exchange +
-    mapInPandas plan documented in PLANS.md §1."""
+    Plan shape — ONE scan of the pages table (the payload column is ~all the
+    bytes at crawl scale, so it must be read exactly once):
+
+      1. a single projection computes ``kind`` from the binary prefix, runs
+         the HTML extractor as a whole-stage-codegen CASE branch, and prunes
+         the payload bytes to NULL for every row that doesn't need Python
+         (html/image) — after this projection only OCR/PDF rows still carry
+         their bytes;
+      2. an optional salt repartition (the same one-Exchange skew handling as
+         ``ocr_pages``);
+      3. one ``mapInPandas`` pass decodes the remaining payloads (DRF -> OCR
+         engine, PDF -> zlib-inflating stream parser) and passes the
+         already-extracted html/image rows through untouched.
+
+    The pass-through costs one Arrow round-trip of the *extracted text*
+    (≪ payload bytes); the alternative — a union of per-kind branches —
+    re-reads the full payload column once per branch because a
+    ``substring(html, ..)`` predicate cannot push down into parquet. Captured
+    plan in PLANS.md §7; tests assert the single Scan node."""
     from tesseract_wasm_spark import drf  # noqa: PLC0415
-    from tesseract_wasm_spark.datapipe.pdftext import pdf_text_expr  # noqa: PLC0415
     from tesseract_wasm_spark.datapipe.webtext import main_content_expr  # noqa: PLC0415
 
-    is_drf = F.substring(F.col("html"), 1, len(drf.MAGIC)) == F.lit(drf.MAGIC)
-    is_pdf = F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-")
-    ocr_part = ocr_pages(pages.filter(is_drf), **ocr_kw).select(
-        "url",
-        F.lit("ocr").alias("kind"),
-        F.col("page_text").alias("text_out"),
-        "error",
+    if variables is not None:
+        from tesseract_wasm_spark.config import VariableStore  # noqa: PLC0415
+
+        store = VariableStore()
+        for name, value in variables.items():
+            store.set(name, value)
+        variables = store.as_dict()
+
+    payload = F.col("html")
+    is_drf = F.substring(payload, 1, len(drf.MAGIC)) == F.lit(drf.MAGIC)
+    is_pdf = F.substring(payload, 1, 5) == F.lit(b"%PDF-")
+    img_fmt = (
+        F.when(F.substring(payload, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(F.substring(payload, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
     )
-    pdf_part = pages.filter(is_pdf).select(
-        "url",
-        F.lit("pdf").alias("kind"),
-        pdf_text_expr(F.col("html").cast("string")).alias("text_out"),
-        F.lit(None).cast("string").alias("error"),
+    kind = (
+        F.when(is_drf, "ocr")
+        .when(is_pdf, "pdf")
+        .when(img_fmt.isNotNull(), "image")
+        .otherwise("html")
     )
-    html_part = pages.filter(~is_drf & ~is_pdf).select(
+    lang = F.col("lang") if "lang" in pages.columns else F.lit("eng")
+    src = pages.select(
         "url",
-        F.lit("html").alias("kind"),
-        main_content_expr(F.col("html").cast("string")).alias("text_out"),
-        F.lit(None).cast("string").alias("error"),
+        kind.alias("kind"),
+        # html extraction happens HERE, inside whole-stage codegen; the map
+        # stage below only passes the result through
+        F.when(kind == "html", main_content_expr(payload.cast("string")))
+        .alias("expr_text"),
+        # recognized-but-undecodable image containers: same error contract as
+        # datapipe.multimodal.media_metadata (decoders aren't shippable here)
+        F.when(kind == "image", F.concat(F.lit("decoder not available: "), img_fmt))
+        .alias("expr_error"),
+        F.when(kind.isin("ocr", "pdf"), payload).alias("payload"),
+        lang.alias("lang"),
     )
-    return ocr_part.unionByName(pdf_part).unionByName(html_part)
+    if rebalance:
+        n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism * 2
+        src = src.repartition(n, F.xxhash64("url"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes  # noqa: PLC0415
+        from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
+
+        for pdf in batches:
+            texts: list[str | None] = []
+            errors: list[str | None] = []
+            for k, raw, etext, eerr, lg in zip(
+                pdf["kind"], pdf["payload"], pdf["expr_text"], pdf["expr_error"], pdf["lang"]
+            ):
+                if k == "ocr":
+                    res = process_page(
+                        bytes(raw), with_text=True, with_orientation=True,
+                        recognizer=recognizer, variables=variables, lang=lg,
+                    )
+                    texts.append(res.page_text)
+                    errors.append(res.error)
+                elif k == "pdf":
+                    try:
+                        texts.append(extract_pdf_bytes(bytes(raw)))
+                        errors.append(None)
+                    except Exception as exc:  # corrupt container: error-as-value
+                        texts.append(None)
+                        errors.append(str(exc))
+                else:
+                    texts.append(etext)
+                    errors.append(eerr)
+            yield pd.DataFrame(
+                {"url": pdf["url"], "kind": pdf["kind"], "text_out": texts, "error": errors},
+                columns=["url", "kind", "text_out", "error"],
+            )
+
+    return src.mapInPandas(run, schema=EXTRACT_DDL)
 
 
 def metrics_df(results: DataFrame) -> DataFrame:

@@ -45,9 +45,9 @@ def test_extract_any_routes_pdf(spark):
     out = extract_any(pages)
     pdf_rows = {r["url"].rsplit("/", 1)[-1]: r for r in
                 out.filter(F.col("kind") == "pdf").collect()}
-    assert set(pdf_rows) == {"pdf-0", "pdf-1"}
+    assert set(pdf_rows) == {"pdf-0", "pdf-1", "pdfz-0", "pdfz-1"}
     truth = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in
-             pages.filter(F.col("url").contains("pdf-")).collect()}
+             pages.filter(F.col("url").contains("pdf")).collect()}
     for name, row in pdf_rows.items():
         assert row["error"] is None
         assert row["text_out"] == truth[name]

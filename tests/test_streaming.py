@@ -56,7 +56,7 @@ def test_extract_stream_mixed_payloads(spark, tmp_path):
     res = spark.read.parquet(out_dir)
     assert res.count() == pages.count()
     assert {r["kind"] for r in res.select("kind").distinct().collect()} == {
-        "ocr", "pdf", "html",
+        "ocr", "pdf", "html", "image",
     }
     truth = {r["url"]: r["text"] for r in pages.collect()}
     ok_rows = res.filter(F.col("error").isNull() & ~F.col("url").contains("/rot-")).collect()

@@ -67,10 +67,44 @@ def test_extract_any_mixed_corpus_byte_identical(spark):
     bad = joined.filter(F.col("text_out") != F.col("expected")).collect()
     assert bad == [], bad[:3]
     kinds = {r["kind"] for r in out.collect()}
-    assert kinds == {"ocr", "html", "pdf"}
+    assert kinds == {"ocr", "html", "pdf", "image"}
     # html fixtures took the html branch, not the OCR-error path
     html_rows = out.filter(F.col("url").contains("html-")).collect()
     assert all(r["kind"] == "html" and r["error"] is None for r in html_rows)
+    # FlateDecode PDFs extract through the byte-level path (never silent '')
+    pdfz = {r["url"].rsplit("/", 1)[-1]: r for r in
+            out.filter(F.col("url").contains("pdfz-")).collect()}
+    truth_z = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in
+               pages.filter(F.col("url").contains("pdfz-")).collect()}
+    assert set(pdfz) == set(truth_z) and len(pdfz) == 2
+    for name, row in pdfz.items():
+        assert row["kind"] == "pdf" and row["error"] is None
+        assert row["text_out"] == truth_z[name]
+    # PNG/JPEG containers: explicit error rows, same contract as media_metadata
+    img = {r["url"].rsplit("/", 1)[-1]: r for r in
+           out.filter(F.col("kind") == "image").collect()}
+    assert img["img-png"]["error"] == "decoder not available: png"
+    assert img["img-jpeg"]["error"] == "decoder not available: jpeg"
+    assert all(r["text_out"] is None for r in img.values())
+
+
+def test_extract_any_single_scan(spark, tmp_path):
+    """The 100 TB plan invariant: extract_any reads the pages table exactly
+    ONCE — the payload column is ~all the bytes, and the round-2 union plan
+    re-read it once per payload-kind branch (prefix predicates can't push
+    down into parquet). The fused plan must show a single parquet Scan and
+    no Union."""
+    path = str(tmp_path / "pages")
+    fixtures_df(spark, n_corpus_pages=2).write.parquet(path)
+    out = extract_any(spark.read.parquet(path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    # and the scan projects only the columns the pass needs (url/html/lang —
+    # never text/warc_ts: column pruning reached the reader)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0].split("ReadSchema")[1].replace("text_out", "")
+    assert "warc_ts" not in read_schema[0]
 
 
 def test_block_languages_detect_mixed_page(spark):
@@ -100,7 +134,7 @@ def test_mixed_extraction_resume(spark, tmp_path):
     out = str(tmp_path / "mx")
     s1 = run_extract_with_resume(spark, pages, out)
     assert s1["pages"] == pages.count() and s1["resumed"] is False
-    assert set(s1["kinds"]) == {"ocr", "html", "pdf"}
+    assert set(s1["kinds"]) == {"ocr", "html", "pdf", "image"}
     s2 = run_extract_with_resume(spark, pages, out)
     assert s2["pages"] == 0 and s2["resumed"] is True
     res = spark.read.parquet(f"{out}/extracted")
