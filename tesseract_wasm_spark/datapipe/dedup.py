@@ -29,7 +29,16 @@ def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow input out to the session's parallelism before a Python
     stage. Local small-file reads arrive as ONE partition, which would
     serialize the vectorized UDF on a single worker; at cluster scale inputs
-    already arrive well-partitioned and this is a no-op."""
+    already arrive well-partitioned and this is a no-op.
+
+    Streaming inputs are returned untouched: file-stream sources already
+    split per file, ``df.rdd`` would raise AnalysisException on a streaming
+    plan, and a repartition would force a shuffle per micro-batch. The
+    ``getNumPartitions`` probe on the batch path costs one driver-side
+    plan-to-RDD conversion — acceptable for these entry points, which each
+    launch a multi-stage job anyway."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
@@ -304,21 +313,43 @@ def _pairs_in_bucket(ids):
     )
 
 
+#: default degenerate-bucket cap for every production LSH path. At near-dup
+#: thresholds genuine buckets hold a handful of ids; a band value shared by a
+#: huge fraction of the corpus (the classic case: millions of empty/boilerplate
+#: documents hashing identically in every band) would otherwise materialize
+#: O(B^2) pairs inside ONE task — the standard LSH OOM at crawl scale. 512 ids
+#: bounds a bucket's expansion at ~131k pairs (one comfortably-sized task)
+#: while sitting orders of magnitude above any honest near-dup bucket. Pass
+#: ``max_bucket=None`` to disable, and read ``bucket_stats`` / the ``dropped``
+#: Observation to see what the cap removed.
+DEFAULT_MAX_BUCKET = 512
+
+
 def bucket_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str = "doc_id",
-                 max_bucket: int | None = None) -> DataFrame:
+                 max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                 dropped=None) -> DataFrame:
     """(id, bucket...) rows -> distinct candidate pairs, via ONE groupBy:
     collect the (sorted) ids per bucket and expand pairs with array
     expressions. Compared to the classic bucket self-join this halves the
     shuffled data and avoids recomputing the (Python-stage) signature source
     for each join side. Bucket-size skew is the standard LSH caveat:
-    ``max_bucket`` drops degenerate buckets (a band value shared by a huge
-    fraction of the corpus produces near-useless quadratic candidates); at
-    near-dup thresholds real buckets are tiny."""
+    ``max_bucket`` (default ``DEFAULT_MAX_BUCKET``) drops degenerate buckets
+    (a band value shared by a huge fraction of the corpus produces
+    near-useless quadratic candidates); at near-dup thresholds real buckets
+    are tiny. Pass a ``pyspark.sql.Observation`` as ``dropped`` to count
+    capped buckets without an extra job (metrics ride the same action)."""
     grouped = banded.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_list(id_col)).alias("_ids")
     )
     grouped = grouped.filter(F.size("_ids") >= 2)
     if max_bucket is not None:
+        if dropped is not None:
+            grouped = grouped.observe(
+                dropped,
+                F.sum(F.when(F.size("_ids") > max_bucket, 1).otherwise(0))
+                .alias("dropped_buckets"),
+                F.max(F.size("_ids")).alias("max_bucket_size"),
+            )
         grouped = grouped.filter(F.size("_ids") <= max_bucket)
     return (
         grouped.select(F.explode(_pairs_in_bucket(F.col("_ids"))).alias("_p"))
@@ -376,7 +407,8 @@ def minhash_banded(docs: DataFrame, *, num_perm: int = 64, bands: int = 16,
     )
 
 
-def minhash_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFrame:
+def minhash_candidates(signatures: DataFrame, *, bands: int = 16,
+                       max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """LSH banding over a precomputed signature table: explode skinny
     (doc_id, band_id, bucket) rows, then bucket_pairs — one groupBy shuffle of
     ~24-byte rows, no signature arrays in flight, no self-join."""
@@ -395,7 +427,7 @@ def minhash_candidates(signatures: DataFrame, *, bands: int = 16) -> DataFrame:
             )
         ).alias("band_id", "bucket"),
     )
-    return bucket_pairs(banded, ["band_id", "bucket"])
+    return bucket_pairs(banded, ["band_id", "bucket"], max_bucket=max_bucket)
 
 
 def minhash_estimate_jaccard(signatures: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -417,11 +449,16 @@ def minhash_estimate_jaccard(signatures: DataFrame, candidates: DataFrame) -> Da
 
 
 def minhash_near_duplicates(docs: DataFrame, *, num_perm: int = 64, bands: int = 16,
-                            ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+                            ngram: int = 3, threshold: float = 0.5,
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                            dropped=None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
-    exact-jaccard verification on the candidates only."""
+    exact-jaccard verification on the candidates only. Degenerate band values
+    are capped at ``max_bucket`` ids by default (see DEFAULT_MAX_BUCKET);
+    pass an Observation as ``dropped`` to count what the cap removed."""
     banded = minhash_banded(docs, num_perm=num_perm, bands=bands, ngram=ngram)
-    cands = bucket_pairs(banded, ["band_id", "bucket"])
+    cands = bucket_pairs(banded, ["band_id", "bucket"], max_bucket=max_bucket,
+                         dropped=dropped)
     sh = docs.select("doc_id", _word_ngrams(F.col("text"), ngram).alias("shingles"))
     # verification join strategy is left to Catalyst/AQE deliberately: at
     # bench scale the shingled corpus is broadcast (file stats say tiny);
@@ -497,11 +534,16 @@ def simhash_signatures(docs: DataFrame, *, seed: int = 2) -> DataFrame:
     )
 
 
-def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3,
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                            dropped=None) -> DataFrame:
     """Pigeonhole banding: split 64 bits into max_hamming+1 chunks; any pair
     within Hamming distance k must agree on >= 1 chunk (exact-recall filter).
     The signature travels INSIDE the collect_list structs, so verification is
-    a pure bit-op filter on the expanded pairs — zero joins end to end."""
+    a pure bit-op filter on the expanded pairs — zero joins end to end.
+    ``max_bucket`` caps degenerate chunk buckets exactly like bucket_pairs
+    (identical signatures in every chunk — e.g. empty documents — would
+    otherwise expand quadratically in one task)."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sigs = simhash_signatures(docs)
@@ -520,6 +562,15 @@ def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3) -> DataFra
         .agg(F.sort_array(F.collect_list("ds")).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
+    if max_bucket is not None:
+        if dropped is not None:
+            grouped = grouped.observe(
+                dropped,
+                F.sum(F.when(F.size("_ids") > max_bucket, 1).otherwise(0))
+                .alias("dropped_buckets"),
+                F.max(F.size("_ids")).alias("max_bucket_size"),
+            )
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     pairs = (
         grouped.select(F.explode(_pairs_in_bucket(F.col("_ids"))).alias("_p"))
         .select(

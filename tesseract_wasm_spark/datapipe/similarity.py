@@ -213,13 +213,21 @@ def srp_multi_signatures(embeddings: DataFrame, *, n_bits: int = 3, n_tables: in
 
 def srp_blocked_near_pairs(embeddings: DataFrame, *, threshold: float = 0.25,
                            n_bits: int = 3, n_tables: int = 64, seed: int = 9,
-                           block_col: str = "label") -> DataFrame:
+                           block_col: str = "label",
+                           max_bucket: int | None = None) -> DataFrame:
     """Bucketed replacement for the quadratic-within-block kernel: candidates
     come from an EQUI-JOIN on (table_id, bucket, block), then the exact cosine
     verifies — precision is exact by construction, recall is set by
     (n_bits, n_tables) (tests pin recall 1.0 vs cosine_pairs_blocked on the
     corpus). At scale the join key is uniform-ish (2^n_bits buckets x tables
-    x blocks) so no label-block ever goes near-cartesian."""
+    x blocks) so no label-block ever goes near-cartesian.
+
+    ``max_bucket`` defaults to None HERE (unlike the minhash/simhash paths):
+    with 2^n_bits buckets per table, bucket size is ~n/(2^n_bits·blocks) by
+    construction, so a size cap would silently cut recall on any large
+    corpus — the scale lever for SRP is raising n_bits (more, smaller
+    buckets), not dropping full ones. The knob exists for adversarial
+    inputs (e.g. a corpus of near-identical vectors)."""
     from tesseract_wasm_spark.datapipe.dedup import bucket_pairs  # noqa: PLC0415
 
     sigs = srp_multi_signatures(
@@ -229,7 +237,8 @@ def srp_blocked_near_pairs(embeddings: DataFrame, *, threshold: float = 0.25,
         "vec_id", block_col, F.posexplode("buckets").alias("table_id", "bucket")
     )
     cands = (
-        bucket_pairs(banded, ["table_id", "bucket", block_col], id_col="vec_id")
+        bucket_pairs(banded, ["table_id", "bucket", block_col], id_col="vec_id",
+                     max_bucket=max_bucket)
         .withColumnRenamed("doc_a", "vec_a")
         .withColumnRenamed("doc_b", "vec_b")
     )

@@ -255,23 +255,23 @@ def _decode_lines_batch(
     all_exact) where all_exact means every emitted frame was a bit-exact
     template hit (max logit == 0 by the -hamming construction)."""
     h, w = mask.shape
-    specs: list[tuple[int, int, int, int, int]] = []  # (li, anchor, span, sr0, r0)
+    specs: list[tuple[int, int, int, int]] = []  # (li, anchor, span, r0)
     for li, (line, baseline) in enumerate(zip(lines, baselines)):
         r0 = baseline - BASELINE_ROW
         for word in line.words:
             anchor = word.pen_left if word.pen_left >= 0 else word.left
             width = word.right - anchor + 1
             n = max(1, -(-width // ADV))
-            specs.append((li, anchor, n * ADV - 1, r0, li))
+            specs.append((li, anchor, n * ADV - 1, r0))
     results: list[list[tuple[str, float]]] = [[] for _ in lines]
     if not specs:
         return results, [True] * len(lines)
     # every word band padded to the page's max span; frames beyond a word's
     # true length are sliced off before decoding, so padding never reaches
     # the decoder
-    t_max = max(s for _, _, s, _, _ in specs)
+    t_max = max(s for _, _, s, _ in specs)
     x_all = np.zeros((len(specs), t_max, CELL_H))
-    for bi, (li, anchor, span, r0, _) in enumerate(specs):
+    for bi, (li, anchor, span, r0) in enumerate(specs):
         sr0, sr1 = max(r0, 0), min(r0 + CELL_H, h)
         sc0, sc1 = max(anchor, 0), min(anchor + span, w)
         if sr0 < sr1 and sc0 < sc1:
@@ -280,7 +280,7 @@ def _decode_lines_batch(
             )
     hidden_all = lstm.forward_batch(x_all)  # [B, T_max, H]
     all_exact = [True] * len(lines)
-    for bi, (li, anchor, span, r0, _) in enumerate(specs):
+    for bi, (li, anchor, span, r0) in enumerate(specs):
         logits = hidden_all[bi, :span, :] @ w_out + b_out
         # softmax log-probs. The constructed logits are hamming distances
         # (unit margins); sharpen them so the decoder's probabilities reflect

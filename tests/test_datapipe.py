@@ -268,6 +268,46 @@ def test_bucket_stats_observability(spark, docs):
     assert total_rows == banded.count()
 
 
+def test_degenerate_bucket_cap(spark, docs):
+    """The 100 TB LSH OOM guard: a band value shared by a huge slice of the
+    corpus (planted here as many empty documents, which hash identically in
+    every band) is dropped by the default max_bucket cap instead of expanding
+    quadratically inside one task — and the drop is observable, not silent."""
+    from pyspark.sql import Observation
+
+    empties = spark.createDataFrame(
+        [(100 + i, "", "planted") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    planted = docs.unionByName(empties)
+    obs = Observation()
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in
+        dedup.minhash_near_duplicates(planted, threshold=0.5,
+                                      max_bucket=8, dropped=obs).collect()
+    }
+    # the genuine near-dup cluster survives; no empty-doc pair was expanded
+    assert {(1, 2), (1, 6), (2, 6)} <= found
+    assert not any(a >= 100 or b >= 100 for a, b in found)
+    assert obs.get["dropped_buckets"] >= 1  # the 20-empty-doc band buckets
+    assert obs.get["max_bucket_size"] >= 20
+    # with the cap disabled the degenerate bucket IS expanded quadratically —
+    # the O(B^2)-inside-one-task failure mode the default guards against
+    cands = dedup.bucket_pairs(
+        dedup.minhash_banded(planted), ["band_id", "bucket"], max_bucket=None
+    )
+    assert cands.filter("doc_a >= 100 and doc_b >= 100").count() == 20 * 19 // 2
+    # simhash path honors the same cap + observation contract
+    obs2 = Observation()
+    sim = {
+        (r["doc_a"], r["doc_b"]) for r in
+        dedup.simhash_near_duplicates(planted, max_hamming=6,
+                                      max_bucket=8, dropped=obs2).collect()
+    }
+    assert not any(a >= 100 or b >= 100 for a, b in sim)
+    assert obs2.get["dropped_buckets"] >= 1
+
+
 def test_ivf_kmeans_centroids(spark, embeddings):
     from tesseract_wasm_spark.datapipe.similarity import brute_force_topk, ivf_topk
 
