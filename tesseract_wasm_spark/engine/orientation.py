@@ -89,24 +89,41 @@ def _center_rows(mask: np.ndarray) -> np.ndarray:
     return mask[mid - MAX_BAND // 2 : mid + MAX_BAND // 2, :]
 
 
-def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None,
-                       *, margin: float = DECISION_MARGIN) -> tuple[int, float]:
-    """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0}).
+def orientation_scores(mask: np.ndarray,
+                       lines: list[Line] | None = None) -> tuple[float, float]:
+    """The two axis scores the decision tree consumes: (up_conf, left_conf).
 
     ``lines``: the page's already-computed upright segmentation (reused for
     up_conf when the page is small enough to score whole — the reference
     similarly runs OSD on the already-thresholded image, src/lib.cpp:250-261);
     each axis scores a center band so cost is bounded for large pages.
-    ``margin`` is the up-vs-left decision margin (P11
-    twspark_orientation_margin; reference literal 5.0, src/lib.cpp:280)."""
+    Exposed separately so the scores can be snapshotted and the decision tree
+    re-derived independently (the driver-gate oracle runs decide_orientation
+    as SQL over a committed scores golden — queries.SQL_OCR_ORIENTATION)."""
     if mask.shape[0] <= _CROP_TRIGGER:
         up_conf = updown_score(mask, lines)
     else:
         up_conf = updown_score(_center_rows(mask))
     # CCW rotation makes a 90°-CW page upright; crop its rows = page columns
     left_conf = updown_score(_center_rows(np.rot90(mask, k=1)))
+    return up_conf, left_conf
+
+
+def decide_orientation(up_conf: float, left_conf: float,
+                       margin: float = DECISION_MARGIN) -> tuple[int, float]:
+    """The reference decision tree (src/lib.cpp:264-287) over the two axis
+    scores: -> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0}).
+    ``margin`` is the up-vs-left decision margin (P11
+    twspark_orientation_margin; reference literal 5.0, src/lib.cpp:280)."""
     if max(abs(up_conf), abs(left_conf)) < 1.0:
         return 0, 0.0  # detection failed (reference: src/lib.cpp:264-268)
     if abs(up_conf) - abs(left_conf) > margin:
         return (0 if up_conf > 0 else 180), 1.0
     return (90 if left_conf > 0 else 270), 1.0
+
+
+def detect_orientation(mask: np.ndarray, lines: list[Line] | None = None,
+                       *, margin: float = DECISION_MARGIN) -> tuple[int, float]:
+    """-> (rotation in {0, 90, 180, 270}, confidence in {0.0, 1.0})."""
+    up_conf, left_conf = orientation_scores(mask, lines)
+    return decide_orientation(up_conf, left_conf, margin)

@@ -30,7 +30,6 @@ import numpy as np
 from tesseract_wasm_spark import drf
 from tesseract_wasm_spark.engine.components import label_components
 from tesseract_wasm_spark.font import ADV
-from tesseract_wasm_spark.engine.orientation import detect_orientation
 from tesseract_wasm_spark.engine.otsu import binarize
 from tesseract_wasm_spark.engine.recognize import recognize_words
 from tesseract_wasm_spark.engine.segment import segment
@@ -71,6 +70,11 @@ class PageResult:
     words: list[WordBox] = field(default_factory=list)
     layout_boxes: list[tuple[int, int, int, int, int]] = field(default_factory=list)
     page_text: str = ""
+    # raw orientation axis scores (orientation.orientation_scores) — kept on
+    # the result so the decision tree can be re-derived independently of the
+    # engine (the scores golden behind queries.SQL_OCR_ORIENTATION)
+    up_conf: float = 0.0
+    left_conf: float = 0.0
 
 
 def _despeckle(comps):
@@ -177,8 +181,14 @@ def process_rgba(
             res.layout_boxes.append((word.left, word.top, word.right, word.bottom, flags))
 
     if with_orientation:
-        res.rotation, res.orient_confidence = detect_orientation(
-            mask, lines, margin=orient_margin
+        from tesseract_wasm_spark.engine.orientation import (  # noqa: PLC0415
+            decide_orientation, orientation_scores,
+        )
+
+        up, left = orientation_scores(mask, lines)
+        res.up_conf, res.left_conf = float(up), float(left)
+        res.rotation, res.orient_confidence = decide_orientation(
+            up, left, orient_margin
         )
 
     if not with_text:

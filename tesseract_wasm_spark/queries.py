@@ -778,6 +778,12 @@ FROM w GROUP BY url, line_id
 
 
 def ocr_layout(spark, sf_dir):
+    """Layout-only boxes from a recognition-free engine run; the oracle
+    re-derives them from the committed WORDS golden — a cross-path invariant,
+    not a snapshot echo: the layout boxes ARE the word rects (the reference's
+    getBoundingBoxes after recognition returns OCR boxes from the same
+    iterator — src/ocr-engine.ts:236-239, src/lib.cpp:197-203), minus the
+    empty-page quirk row which exists only on the OCR path."""
     from tesseract_wasm_spark.outputs import layout_df  # noqa: PLC0415
     from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
     from tesseract_wasm_spark.pipeline import ocr_pages  # noqa: PLC0415
@@ -786,25 +792,125 @@ def ocr_layout(spark, sf_dir):
     return layout_df(ocr_pages(pages, with_text=False, with_orientation=False))
 
 
-SQL_OCR_LAYOUT = f"SELECT * FROM read_parquet('{_golden('ocr_layout')}')"
+SQL_OCR_LAYOUT = f"""
+SELECT url, word_id AS box_id, "left", "top", "right", "bottom",
+       CAST(0 AS INT) AS flags
+FROM read_parquet('{_golden('ocr_words')}')
+WHERE NOT (text = '' AND "right" = 0)  -- the OCR-path empty-page quirk row
+"""
 
 
 def ocr_orientation(spark, sf_dir):
+    """Live-engine orientation; the oracle re-runs the DECISION TREE in SQL
+    (reference src/lib.cpp:264-287: detection fails below score 1.0, up/down
+    by sign when |up|-|left| exceeds the 5.0 margin, else left/right by sign)
+    over the committed raw axis scores — only the pixel-level score
+    computation is snapshot, the decision logic is independently derived."""
     from tesseract_wasm_spark.outputs import orientation_df  # noqa: PLC0415
 
     return orientation_df(_fixture_results(spark))
 
 
-SQL_OCR_ORIENTATION = f"SELECT * FROM read_parquet('{_golden('ocr_orientation')}')"
+SQL_OCR_ORIENTATION = f"""
+SELECT url,
+       CAST(CASE WHEN greatest(abs(up_conf), abs(left_conf)) < 1.0 THEN 0
+                 WHEN abs(up_conf) - abs(left_conf) > 5.0
+                 THEN (CASE WHEN up_conf > 0 THEN 0 ELSE 180 END)
+                 ELSE (CASE WHEN left_conf > 0 THEN 90 ELSE 270 END)
+            END AS INT) AS rotation,
+       CAST(CASE WHEN greatest(abs(up_conf), abs(left_conf)) < 1.0
+                 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS confidence,
+       skew_degrees
+FROM read_parquet('{_golden('ocr_page_meta')}')
+"""
 
 
 def ocr_hocr(spark, sf_dir):
+    """Live-engine hOCR; the oracle RE-RENDERS the full document in DuckDB
+    SQL from the words golden + page meta (the reference renders hOCR from
+    the same result iterator that produces the word boxes —
+    src/lib.cpp:216-240), so structure, ids, bbox/x_wconf/baseline/x_size
+    typography attrs and escaping are all independently derived."""
     from tesseract_wasm_spark.outputs import hocr_df  # noqa: PLC0415
 
     return hocr_df(_fixture_results(spark))
 
 
-SQL_OCR_HOCR = f"SELECT * FROM read_parquet('{_golden('ocr_hocr')}')"
+def _sql_hocr() -> str:
+    from tesseract_wasm_spark.font import BASELINE_ROW, XHEIGHT_TOP  # noqa: PLC0415
+    from tesseract_wasm_spark.outputs import _HOCR_FOOTER, _HOCR_HEADER  # noqa: PLC0415
+
+    asc_band = BASELINE_ROW - XHEIGHT_TOP
+    return f"""
+WITH w AS (
+  SELECT * FROM read_parquet('{_golden('ocr_words')}') WHERE text <> ''
+),
+meta AS (SELECT * FROM read_parquet('{_golden('ocr_page_meta')}')),
+spans AS (
+  SELECT url, line_id, word_id,
+    printf($f$      <span class='ocrx_word' id='word_1_%d' title='bbox %d %d %d %d; x_wconf %d'>%s</span>$f$,
+           word_id + 1, "left", "top", "right" + 1, "bottom" + 1,
+           CAST(round(confidence * 100) AS INT),
+           replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')) AS span
+  FROM w
+),
+lines AS (
+  SELECT url, line_id, min("left") AS l, min("top") AS t,
+         max("right") AS r, max("bottom") AS b,
+         min(baseline) AS baseline, min(block_id) AS block_id
+  FROM w GROUP BY url, line_id
+),
+line_spans AS (
+  SELECT url, line_id, string_agg(span, chr(10) ORDER BY word_id) AS word_spans
+  FROM spans GROUP BY url, line_id
+),
+line_blocks AS (
+  SELECT l.url, l.line_id, l.block_id, l.l, l.t, l.r, l.b,
+    printf($f$     <span class='ocr_line' id='line_1_%d' title="bbox %d %d %d %d; baseline %s %d; x_size %d; x_descenders %d; x_ascenders %d">$f$,
+           l.line_id + 1, l.l, l.t, l.r + 1, l.b + 1,
+           CAST(round(tan(radians(m.skew_degrees)), 4) AS VARCHAR),
+           l.baseline - l.b, l.b - l.t + 1, l.b - l.baseline,
+           greatest(0, (l.baseline - l.t) - {asc_band}))
+    || chr(10) || s.word_spans || chr(10) || '     </span>' AS line_block
+  FROM lines l
+  JOIN line_spans s ON s.url = l.url AND s.line_id = l.line_id
+  JOIN meta m ON m.url = l.url
+),
+blocks AS (
+  SELECT url, block_id,
+         string_agg(line_block, chr(10) ORDER BY line_id) AS lines_html,
+         min(l) AS _l, min(t) AS _t, max(r) AS _r, max(b) AS _b
+  FROM line_blocks GROUP BY url, block_id
+),
+block_html AS (
+  SELECT url, block_id,
+    printf($f$   <div class='ocr_carea' id='block_1_%d' title="bbox %d %d %d %d">
+    <p class='ocr_par' id='par_1_%d' title="bbox %d %d %d %d">
+%s
+    </p>
+   </div>$f$,
+           block_id + 1, _l, _t, _r + 1, _b + 1,
+           block_id + 1, _l, _t, _r + 1, _b + 1, lines_html) AS bh
+  FROM blocks
+),
+pages AS (
+  SELECT url, string_agg(bh, chr(10) ORDER BY block_id) AS blocks_html
+  FROM block_html GROUP BY url
+)
+SELECT m.url,
+  $hdr${_HOCR_HEADER}$hdr$ ||
+  CASE WHEN p.blocks_html IS NULL
+    THEN printf($f$  <div class='ocr_page' id='page_1' title='bbox 0 0 %d %d'>
+  </div>$f$, m.width, m.height)
+    ELSE printf($f$  <div class='ocr_page' id='page_1' title='bbox 0 0 %d %d'>
+%s
+  </div>$f$, m.width, m.height, p.blocks_html)
+  END || chr(10) || $ftr${_HOCR_FOOTER}$ftr$ AS hocr
+FROM meta m LEFT JOIN pages p ON p.url = m.url
+"""
+
+
+SQL_OCR_HOCR = _sql_hocr()
 
 
 def ocr_errors(spark, sf_dir):
@@ -884,9 +990,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def ocr_text_lstm(spark, sf_dir):
-    """P5 v2 path: extraction via the LSTM+CTC recognizer (golden-parquet
-    oracle; pytest additionally asserts it agrees with the template path
-    byte-for-byte)."""
+    """P5 v2 path: extraction via the LSTM+CTC recognizer. The oracle is the
+    TEMPLATE-path text golden restricted to this entry's url subset — so a
+    hash match asserts the real invariant: the two recognizers agree
+    byte-for-byte on every page (pytest pins the same agreement per line)."""
     import pandas as pd  # noqa: PLC0415
 
     from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
@@ -901,21 +1008,25 @@ def ocr_text_lstm(spark, sf_dir):
         from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
 
         for pdf in batches:
-            out = [
-                {
-                    "url": url,
-                    "text_out": process_page(
-                        bytes(payload), recognizer="lstm", lang=lang
-                    ).page_text,
-                }
-                for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"])
-            ]
+            out = []
+            for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                res = process_page(bytes(payload), recognizer="lstm", lang=lang)
+                if res.error is None:  # same error-null surface as ocr_text
+                    out.append({"url": url, "text_out": res.page_text})
             yield pd.DataFrame(out, columns=["url", "text_out"])
 
     return pages.select("url", "html", "lang").mapInPandas(run, "url string, text_out string")
 
 
-SQL_OCR_TEXT_LSTM = f"SELECT * FROM read_parquet('{_golden('ocr_text_lstm')}')"
+# the template-path golden filtered to the lstm entry's subset: fixtures(4)
+# minus rot/empty (excluded above; bad/zero/html/pdf/img rows are error rows
+# and absent from the error-null golden already)
+SQL_OCR_TEXT_LSTM = f"""
+SELECT url, text_out FROM read_parquet('{_golden('ocr_text')}')
+WHERE url NOT LIKE '%/rot-%' AND url NOT LIKE '%/empty-%'
+  AND (url NOT LIKE '%/page-%'
+       OR CAST(regexp_extract(url, 'page-(\\d+)$', 1) AS INT) < 4)
+"""
 
 
 def ocr_media_metadata(spark, sf_dir):

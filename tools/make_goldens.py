@@ -53,13 +53,41 @@ def main() -> None:
     spark = get_spark(cores=8)
 
     # --- OCR surface (sf-independent: runs on the deterministic fixtures)
-    for name in ("ocr_text", "ocr_words", "ocr_layout", "ocr_orientation",
-                 "ocr_hocr", "ocr_errors", "ocr_text_lstm", "ocr_media_metadata",
+    for name in ("ocr_text", "ocr_words", "ocr_errors", "ocr_media_metadata",
                  "extract_mixed"):
         fn = Q.REGISTRY[name][0]
         write_golden(fn(spark, SF_DIR), name)
-    # (ocr_lines needs no golden: its oracle re-derives the rollup from the
-    #  ocr_words golden in SQL)
+    # (no goldens needed for: ocr_lines — oracle re-derives the rollup from
+    #  the ocr_words golden; ocr_layout — re-derived from ocr_words (the
+    #  layout-only boxes ARE the word rects, reference ocr-engine.ts:236-239);
+    #  ocr_hocr — re-RENDERED in DuckDB from ocr_words + ocr_page_meta;
+    #  ocr_orientation — decision tree re-run in SQL over the scores below;
+    #  ocr_text_lstm — equals the template-path ocr_text golden byte-for-byte)
+
+    # page-meta + raw orientation axis scores: the inputs those re-derivation
+    # oracles consume (width/height for the page div, skew for the baseline
+    # slope, up/left scores for the orientation tree)
+    import pandas as pd
+    from tesseract_wasm_spark.engine.page import process_page
+    from tesseract_wasm_spark.fixtures import fixture_rows
+
+    metas = []
+    for r in fixture_rows(16):
+        res = process_page(bytes(r["html"]), lang=r["lang"])
+        if res.error is None:
+            metas.append({
+                "url": r["url"], "width": res.width, "height": res.height,
+                "skew_degrees": res.skew_degrees,
+                "up_conf": res.up_conf, "left_conf": res.left_conf,
+            })
+    write_golden(
+        spark.createDataFrame(
+            pd.DataFrame(metas),
+            schema="url string, width int, height int, skew_degrees double, "
+                   "up_conf double, left_conf double",
+        ),
+        "ocr_page_meta",
+    )
 
     # --- datapipe snapshots at the driver's gate SF
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
