@@ -21,26 +21,72 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: text blocks, then string literals shown with Tj/TJ inside them
+#: text blocks, then show operators inside them: literal-string ``(s) Tj``,
+#: hex-string ``<48..> Tj``, and kerned-array ``[(a) -120 (b)] TJ`` — the
+#: operator real-world PDFs overwhelmingly use. All RE2-safe (shared verbatim
+#: by the DuckDB oracle and mirrored by the byte-level path).
 _BT_ET = r"(?s)BT(.*?)ET"
-_TJ_STRING = r"(?s)\(((?:[^\\()]|\\.)*)\)\s*Tj"
+_STR = r"\(((?:[^\\()]|\\.)*)\)"
+_HEX = r"<([0-9A-Fa-f\s]*)>"
+_TJ_STRING = rf"(?s){_STR}\s*Tj"
+_SHOW_OP = rf"(?s)(?:{_STR}\s*Tj|{_HEX}\s*Tj|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ)"
+_TJ_ELEM = rf"(?:{_STR}|{_HEX}|-?\d+(?:\.\d+)?)"
+
+#: a TJ kern adjustment at or below this (thousandths of text-space units,
+#: negative = widen) renders as an inter-word gap; smaller nudges are glyph
+#: kerning inside a word. -180 is the classic extractor heuristic (word
+#: spaces in body text are typically -200..-600).
+TJ_SPACE_KERN = -180.0
+
+#: documented limitation: a literal ']' inside a TJ-array string element ends
+#: the array match early (RE2 has no recursion); emit such text via Tj.
+
+
+def _unescape(s: Column) -> Column:
+    return F.replace(
+        F.replace(F.replace(s, F.lit(r"\("), F.lit("(")), F.lit(r"\)"), F.lit(")")),
+        F.lit("\\\\"),
+        F.lit("\\"),
+    )
+
+
+def _hex_text(e: Column) -> Column:
+    return F.decode(F.unhex(F.regexp_replace(e, "[^0-9A-Fa-f]", "")), "UTF-8")
+
+
+def _elem_text(e: Column) -> Column:
+    """One TJ-array element -> shown text: strings/hex decode, a kern number
+    becomes a space iff it is at or below TJ_SPACE_KERN (the cast is safe:
+    non-string, non-hex elements match the numeric alternative of
+    _TJ_ELEM by construction)."""
+    return (
+        F.when(F.substring(e, 1, 1) == "(", _unescape(F.regexp_extract(e, _STR, 1)))
+        .when(F.substring(e, 1, 1) == "<", _hex_text(e))
+        .otherwise(
+            F.when(e.cast("double") <= F.lit(TJ_SPACE_KERN), F.lit(" ")).otherwise(F.lit(""))
+        )
+    )
+
+
+def _op_text(op: Column) -> Column:
+    tj_text = F.array_join(
+        F.transform(F.regexp_extract_all(op, F.lit(_TJ_ELEM), 0), _elem_text), ""
+    )
+    return (
+        F.when(F.substring(op, 1, 1) == "[", tj_text)
+        .when(F.substring(op, 1, 1) == "<", _hex_text(op))
+        .otherwise(_unescape(F.regexp_extract(op, _STR, 1)))
+    )
 
 
 def pdf_text_expr(pdf_str: Column) -> Column:
-    """Decoded PDF bytes (as string) -> extracted text, one line per Tj run."""
+    """Decoded PDF bytes (as string) -> extracted text, one line per show
+    operator (Tj literal, Tj hex, or TJ kerned array), in stream order."""
     blocks = F.regexp_extract_all(pdf_str, F.lit(_BT_ET), 1)
-    runs = F.flatten(
-        F.transform(blocks, lambda b: F.regexp_extract_all(b, F.lit(_TJ_STRING), 1))
+    ops = F.flatten(
+        F.transform(blocks, lambda b: F.regexp_extract_all(b, F.lit(_SHOW_OP), 0))
     )
-    unescaped = F.transform(
-        runs,
-        lambda s: F.replace(
-            F.replace(F.replace(s, F.lit(r"\("), F.lit("(")), F.lit(r"\)"), F.lit(")")),
-            F.lit("\\\\"),
-            F.lit("\\"),
-        ),
-    )
-    return F.array_join(unescaped, "\n")
+    return F.array_join(F.transform(ops, _op_text), "\n")
 
 
 def pdf_text(docs: DataFrame, *, pdf_col: str = "pdf_text_raw",
@@ -56,18 +102,37 @@ def pdf_escape_expr(text: Column) -> Column:
     return F.replace(out, F.lit(")"), F.lit(r"\)"))
 
 
-def make_simple_pdf(lines: list[str], *, compress: bool = False) -> bytes:
+def make_simple_pdf(lines: list[str], *, compress: bool = False,
+                    operators: str = "tj") -> bytes:
     """A minimal valid single-page PDF — the deterministic fixture generator.
 
     ``compress=False``: uncompressed content stream, pure ASCII, so the
     whole-file binary->string cast path (pdf_text_expr) applies.
     ``compress=True``: the content stream is FlateDecode (zlib) compressed —
     the real-world shape — which requires the byte-level decode path
-    (pdf_pages_text / extract_pdf_bytes)."""
+    (pdf_pages_text / extract_pdf_bytes).
+    ``operators="mixed"``: cycle the three show-operator forms across lines —
+    literal ``Tj``, kerned-array ``TJ`` (word gaps as -240 kerns, an
+    intra-word -120 nudge that must NOT become a space), and hex ``Tj`` —
+    so extraction must handle all of them to round-trip."""
     def esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace("(", r"\(").replace(")", r"\)")
 
-    shows = "\n".join(f"({esc(ln)}) Tj 0 -14 Td" for ln in lines)
+    def show(i: int, ln: str) -> str:
+        if operators != "mixed" or i % 3 == 0:
+            return f"({esc(ln)}) Tj 0 -14 Td"
+        if i % 3 == 1:
+            words = ln.split(" ")
+            first = words[0]
+            elems = (
+                [f"({esc(first[:2])}) -120 ({esc(first[2:])})"]
+                if len(first) > 2 else [f"({esc(first)})"]
+            )
+            elems += [f"-240 ({esc(w)})" for w in words[1:]]
+            return f"[{' '.join(elems)}] TJ 0 -14 Td"
+        return f"<{ln.encode('utf-8').hex().upper()}> Tj 0 -14 Td"
+
+    shows = "\n".join(show(i, ln) for i, ln in enumerate(lines))
     content_b = f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("ascii")
     if compress:
         import zlib  # noqa: PLC0415
@@ -107,14 +172,42 @@ import re as _re  # noqa: E402
 
 _STREAM_RE = _re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", _re.S)
 _BT_ET_B = _re.compile(rb"(?s)BT(.*?)ET")
-_TJ_STRING_B = _re.compile(rb"(?s)\(((?:[^\\()]|\\.)*)\)\s*Tj")
+_STR_B = _re.compile(_STR.encode("ascii"), _re.S)
+_SHOW_OP_B = _re.compile(_SHOW_OP.encode("ascii"))
+_TJ_ELEM_B = _re.compile(_TJ_ELEM.encode("ascii"), _re.S)
+
+
+def _unescape_b(s: bytes) -> str:
+    txt = s.decode("latin-1")
+    return txt.replace(r"\(", "(").replace(r"\)", ")").replace("\\\\", "\\")
+
+
+def _op_text_bytes(op: bytes) -> str:
+    """One show operator (bytes) -> shown text; exact mirror of the
+    expression path's _op_text/_elem_text."""
+    if op.startswith(b"["):
+        parts: list[str] = []
+        for e in _TJ_ELEM_B.finditer(op):
+            tok = e.group(0)
+            if tok.startswith(b"("):
+                parts.append(_unescape_b(_STR_B.match(tok).group(1)))
+            elif tok.startswith(b"<"):
+                parts.append(bytes.fromhex(tok[1:-1].decode("ascii")).decode("utf-8"))
+            elif float(tok.decode("ascii")) <= TJ_SPACE_KERN:
+                parts.append(" ")
+        return "".join(parts)
+    if op.startswith(b"<"):
+        hexpart = op[: op.index(b">")][1:]
+        return bytes.fromhex(b"".join(hexpart.split()).decode("ascii")).decode("utf-8")
+    return _unescape_b(_STR_B.match(op).group(1))
 
 
 def extract_pdf_bytes(raw: bytes) -> str:
     """Full byte-level PDF text extraction: walk every stream object, inflate
     /FlateDecode streams with zlib (stdlib — this is a DECODE step like
     drf.decode, so it lives on the Python side of the pipeline), then parse
-    Tj runs exactly like the relational expression path."""
+    show operators (Tj literal/hex, TJ kerned arrays) exactly like the
+    relational expression path."""
     import zlib  # noqa: PLC0415
 
     runs: list[str] = []
@@ -126,10 +219,8 @@ def extract_pdf_bytes(raw: bytes) -> str:
             except zlib.error:
                 continue  # corrupt stream: skip, never throw (error-as-value)
         for block in _BT_ET_B.finditer(body):
-            for s in _TJ_STRING_B.finditer(block.group(1)):
-                txt = s.group(1).decode("latin-1")
-                txt = txt.replace(r"\(", "(").replace(r"\)", ")").replace("\\\\", "\\")
-                runs.append(txt)
+            for op in _SHOW_OP_B.finditer(block.group(1)):
+                runs.append(_op_text_bytes(op.group(0)))
     return "\n".join(runs)
 
 

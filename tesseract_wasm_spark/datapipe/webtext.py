@@ -39,7 +39,42 @@ _ANCHOR_TEXT = r"(?is)<a\b[^>]*>(.*?)</a>"
 #: entity decode order matters: named/numeric entities FIRST, &amp; LAST
 #: (otherwise "&amp;lt;" would double-decode); the DuckDB twin uses the
 #: identical order
-_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+_ENTITIES_PRE = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+_ENTITIES = _ENTITIES_PRE + (("&amp;", "&"),)
+
+#: numeric character references, ASCII range: decimal ``&#NNN;`` decodes when
+#: 32..126, hex ``&#xNN;`` when <= 0x7F (1-2 digits, first nibble 0-7) — the
+#: range where Spark's char() and DuckDB's chr()/byte-decode agree exactly;
+#: anything outside stays literal text. RE2-safe, shared with the SQL twin.
+_NUM_ENT = r"&#(x[0-7]?[0-9A-Fa-f]|[0-9]{1,5});"
+
+
+def _num_ent_char(e: Column) -> Column:
+    """One captured reference body ('x41' or '65') -> decoded char, or the
+    original '&#..;' text when out of the supported range."""
+    as_int = e.cast("int")  # safe: the decimal alternative is all digits
+    return (
+        F.when(
+            F.substring(e, 1, 1) == "x",
+            F.decode(F.unhex(F.lpad(F.substring(e, 2, 2), 2, "0")), "UTF-8"),
+        )
+        .when((as_int >= 32) & (as_int <= 126), F.char(as_int))
+        .otherwise(F.concat(F.lit("&#"), e, F.lit(";")))
+    )
+
+
+def _decode_num_entities(txt: Column) -> Column:
+    """Split-and-rebuild numeric-reference decode in pure expressions: parts
+    around each reference + the decoded char for each, re-joined in order
+    (split keeps trailing empties in both engines, so len(parts) ==
+    len(refs) + 1 always)."""
+    parts = F.split(txt, _NUM_ENT)
+    ents = F.regexp_extract_all(txt, F.lit(_NUM_ENT), 1)
+    rebuilt = F.zip_with(
+        F.slice(parts, 1, F.size(ents)), ents,
+        lambda p, e: F.concat(p, _num_ent_char(e)),
+    )
+    return F.concat(F.array_join(rebuilt, ""), F.element_at(parts, -1))
 
 #: a block is navigation/noise when more than this fraction of its text is
 #: anchor text
@@ -48,8 +83,10 @@ MAX_LINK_DENSITY = 1 / 3
 
 def _block_text(seg: Column) -> Column:
     txt = F.regexp_replace(seg, "<[^>]*>", " ")
-    for ent, ch in _ENTITIES:
+    for ent, ch in _ENTITIES_PRE:
         txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    txt = _decode_num_entities(txt)
+    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(txt, r"\s+", " "))
 
 
@@ -137,7 +174,11 @@ def block_languages(docs: DataFrame, *, html_col: str = "html_text",
 
 def html_escape_expr(text: Column) -> Column:
     """Inverse of the entity decode (for building synthetic pages whose
-    extraction round-trips exactly): & first, then < and >."""
+    extraction round-trips exactly): & first, then < and >, then quotes as
+    NUMERIC references (decimal + hex) so the round-trip exercises the
+    numeric-entity decode path."""
     out = F.replace(text, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
-    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit('"'), F.lit("&#34;"))
+    return F.replace(out, F.lit("'"), F.lit("&#x27;"))

@@ -85,12 +85,18 @@ HTML_ARTICLES: list[list[str]] = [
     [
         "Single block article about deterministic extraction.",
         "Closing remarks with trailing thoughts on reading order.",
+        "It's a \"quoted\" remark, isn't it.",  # numeric-entity round-trip
     ],
 ]
 
 
 def _py_escape(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    """Mirror of webtext.html_escape_expr: quotes become NUMERIC character
+    references so fixture extraction exercises the &#NNN;/&#xNN; decode."""
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&#34;").replace("'", "&#x27;")
+    )
 
 
 def article_html(paras: list[str]) -> bytes:
@@ -222,6 +228,10 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
     # shape; extraction must inflate, not silently return '' (byte-level path)
     for j, lines in enumerate(PDF_PAGE_LINES):
         add(f"pdfz-{j}", make_simple_pdf(lines, compress=True), "\n".join(lines), 150 + j)
+    # mixed show operators (kerned-array TJ + hex Tj + literal Tj) — the
+    # operator mix real-world PDFs actually use
+    add("pdfm-0", make_simple_pdf(PDF_PAGE_LINES[0], operators="mixed"),
+        "\n".join(PDF_PAGE_LINES[0]), 152)
     # recognized-but-undecodable image containers (no codecs in this
     # environment): extract_any must emit explicit 'decoder not available'
     # error rows, never silent empty-html rows

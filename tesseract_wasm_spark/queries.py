@@ -589,13 +589,43 @@ _SQL_HTML_PAGE = (
     "'<html><head><title>doc</title><script>var a = 1;</script></head><body>"
     '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
     "<!-- crawl snapshot --><article><p>' || "
-    "regexp_replace(regexp_replace(regexp_replace(text, '&', '&amp;', 'g'), "
-    "'<', '&lt;', 'g'), '>', '&gt;', 'g') || "
+    "replace(replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'&', '&amp;', 'g'), "
+    "'<', '&lt;', 'g'), '>', '&gt;', 'g'), '\"', '&#34;'), chr(39), '&#x27;') || "
     "'</p></article><aside><a href=\"/ads\">sponsored</a></aside>"
     "<footer>2024 example corp</footer></body></html>'"
 )
 
-SQL_HTML_MAIN_TEXT = rf"""
+
+def _sql_html_main_text() -> str:
+    # numeric-reference decode, same regex + split-and-rebuild as the Spark
+    # extractor (webtext._decode_num_entities) — interpolated, never re-typed
+    from tesseract_wasm_spark.datapipe.webtext import _NUM_ENT  # noqa: PLC0415
+
+    def dec(src: str) -> str:
+        # coalesce ×2: DuckDB regexp_extract_all returns NULL (not []) on no
+        # match, and transforming an empty zip also nulls out
+        ents = f"coalesce(regexp_extract_all({src}, '{_NUM_ENT}', 1), [])"
+        return (
+            f"coalesce(array_to_string(list_transform(list_zip("
+            f"list_slice(string_split_regex({src}, '{_NUM_ENT}'), 1, "
+            f"len({ents})), "
+            f"{ents}), "
+            f"z -> z[1] || CASE "
+            f"WHEN z[2] LIKE 'x%' THEN decode(unhex(lpad(substr(z[2], 2, 2), 2, '0'))) "
+            f"WHEN CAST(z[2] AS INT) BETWEEN 32 AND 126 THEN chr(CAST(z[2] AS INT)) "
+            f"ELSE '&#' || z[2] || ';' END), ''), '') "
+            f"|| string_split_regex({src}, '{_NUM_ENT}')[-1]"
+        )
+
+    named = (
+        "replace(replace(replace(replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39))"
+    )
+    txt = (
+        rf"trim(regexp_replace(replace({dec(named)}, '&amp;', '&'), '\s+', ' ', 'g'))"
+    )
+    return rf"""
 WITH pages AS (SELECT doc_id, {_SQL_HTML_PAGE} AS h FROM documents),
 t2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
         '(?s)<!--.*?-->', ' ', 'g'),
@@ -611,12 +641,7 @@ segs AS (SELECT doc_id, string_split_regex(h,
         FROM t3),
 blocks AS (
   SELECT doc_id, list_transform(xs, s -> struct_pack(
-    txt := trim(regexp_replace(
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(s, '<[^>]*>', ' ', 'g'),
-               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-               '&#39;', chr(39), 'g'), '&amp;', '&', 'g'),
-             '\s+', ' ', 'g')),
+    txt := {txt},
     link_len := coalesce(length(array_to_string(
                   regexp_extract_all(s, '(?is)<a\b[^>]*>(.*?)</a>', 1), '')), 0)
   )) AS bs FROM segs
@@ -629,12 +654,17 @@ FROM blocks
 """
 
 
+SQL_HTML_MAIN_TEXT = _sql_html_main_text()
+
+
 def pdf_text(spark, sf_dir):
     """PDF text extraction (the north rule's PDF/layout-parse axis): each
-    document's text is embedded as a Tj string in a synthetic uncompressed
-    content stream and the relational extractor (datapipe/pdftext.py) must
-    recover it. The DuckDB oracle builds and parses the SAME stream in SQL —
-    full dual derivation."""
+    document's text is embedded in a synthetic uncompressed content stream
+    exercising ALL THREE show-operator forms — literal ``Tj``, kerned-array
+    ``TJ`` (word gap = -240, intra-word -120 nudge that must NOT become a
+    space), and hex ``Tj`` — and the relational extractor
+    (datapipe/pdftext.py) must recover every run. The DuckDB oracle builds
+    and parses the SAME stream in SQL — full dual derivation."""
     from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
         pdf_escape_expr,
         pdf_text_expr,
@@ -644,12 +674,26 @@ def pdf_text(spark, sf_dir):
     page = F.concat(
         F.lit("%PDF-1.4\n4 0 obj\n<< /Length 0 >>\nstream\nBT /F1 12 Tf 72 720 Td\n("),
         pdf_escape_expr(F.col("text")),
-        F.lit(") Tj 0 -14 Td\n(appendix \\(generated\\)) Tj\nET\nendstream\nendobj\n%%EOF"),
+        F.lit(
+            ") Tj 0 -14 Td\n(appendix \\(generated\\)) Tj\n"
+            "[(ker) -120 (ned) -240 (array)] TJ 0 -14 Td\n"
+            "<6865782072756E> Tj\nET\nendstream\nendobj\n%%EOF"
+        ),
     )
     return docs.select("doc_id", pdf_text_expr(page).alias("text_out"))
 
 
-SQL_PDF_TEXT = r"""
+def _sql_pdf_text() -> str:
+    # the SAME RE2-safe regexes the Spark extractor compiles (pdftext.py) —
+    # interpolated, not re-typed, so the two engines cannot drift
+    from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
+        _SHOW_OP, _STR, _TJ_ELEM, TJ_SPACE_KERN,
+    )
+
+    unesc = ("replace(replace(replace({0}, chr(92) || '(', '('), "
+             "chr(92) || ')', ')'), chr(92) || chr(92), chr(92))")
+    hexdec = "decode(unhex(regexp_replace({0}, '[^0-9A-Fa-f]', '', 'g')))"
+    return f"""
 WITH pages AS (
   SELECT doc_id,
     '%PDF-1.4' || chr(10) || '4 0 obj' || chr(10) || '<< /Length 0 >>' || chr(10)
@@ -657,19 +701,32 @@ WITH pages AS (
     || replace(replace(replace(text, chr(92), chr(92) || chr(92)),
                '(', chr(92) || '('), ')', chr(92) || ')')
     || ') Tj 0 -14 Td' || chr(10) || '(appendix ' || chr(92) || '(generated'
-    || chr(92) || ')) Tj' || chr(10) || 'ET' || chr(10)
+    || chr(92) || ')) Tj' || chr(10)
+    || '[(ker) -120 (ned) -240 (array)] TJ 0 -14 Td' || chr(10)
+    || '<6865782072756E> Tj' || chr(10) || 'ET' || chr(10)
     || 'endstream' || chr(10) || 'endobj' || chr(10) || '%%EOF' AS p
   FROM documents
 ),
 blocks AS (SELECT doc_id, regexp_extract_all(p, '(?s)BT(.*?)ET', 1) AS bs FROM pages),
-runs AS (SELECT doc_id, flatten(list_transform(bs,
-           b -> regexp_extract_all(b, '(?s)\(((?:[^\\()]|\\.)*)\)\s*Tj', 1))) AS rs
-         FROM blocks)
-SELECT doc_id, array_to_string(list_transform(rs,
-  s -> replace(replace(replace(s, chr(92) || '(', '('), chr(92) || ')', ')'),
-               chr(92) || chr(92), chr(92))), chr(10)) AS text_out
-FROM runs
+ops AS (SELECT doc_id, flatten(list_transform(bs,
+          b -> regexp_extract_all(b, '{_SHOW_OP}', 0))) AS os
+        FROM blocks)
+SELECT doc_id, array_to_string(list_transform(os, op ->
+  CASE
+    WHEN op LIKE '[%' THEN array_to_string(list_transform(
+        regexp_extract_all(op, '{_TJ_ELEM}', 0), e ->
+        CASE WHEN e LIKE '(%' THEN {unesc.format("regexp_extract(e, '" + _STR + "', 1)")}
+             WHEN e LIKE '<%' THEN {hexdec.format("e")}
+             WHEN TRY_CAST(e AS DOUBLE) <= {TJ_SPACE_KERN} THEN ' '
+             ELSE '' END), '')
+    WHEN op LIKE '<%' THEN {hexdec.format("op")}
+    ELSE {unesc.format("regexp_extract(op, '" + _STR + "', 1)")}
+  END), chr(10)) AS text_out
+FROM ops
 """
+
+
+SQL_PDF_TEXT = _sql_pdf_text()
 
 
 def extract_mixed(spark, sf_dir):

@@ -177,8 +177,8 @@ def test_media_metadata_and_thumbnails(spark):
     assert meta["bad-buffer"]["decode_error"] == "Image data length does not match width/height"
     th = thumbnails(pages, max_side=32).collect()
     assert all(r["thumb_w"] <= 32 and r["thumb_h"] <= 32 for r in th)
-    # non-decodable payloads skipped (2 bad + 2 html + 4 pdf + 2 img)
-    assert len(th) == pages.count() - 10
+    # non-decodable payloads skipped (2 bad + 2 html + 5 pdf + 2 img)
+    assert len(th) == pages.count() - 11
 
     from tesseract_wasm_spark.datapipe.multimodal import (
         decode_audio,

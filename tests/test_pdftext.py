@@ -45,7 +45,7 @@ def test_extract_any_routes_pdf(spark):
     out = extract_any(pages)
     pdf_rows = {r["url"].rsplit("/", 1)[-1]: r for r in
                 out.filter(F.col("kind") == "pdf").collect()}
-    assert set(pdf_rows) == {"pdf-0", "pdf-1", "pdfz-0", "pdfz-1"}
+    assert set(pdf_rows) == {"pdf-0", "pdf-1", "pdfz-0", "pdfz-1", "pdfm-0"}
     truth = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in
              pages.filter(F.col("url").contains("pdf")).collect()}
     for name, row in pdf_rows.items():
@@ -74,6 +74,43 @@ def test_flatedecode_streams(spark):
     )
     got = {r["url"]: r["text_out"] for r in pdf_pages_text(df).collect()}
     assert got == {"u1": "\n".join(lines), "u2": "\n".join(lines)}
+
+
+def test_tj_array_and_hex_strings(spark):
+    """The two real-world show-operator forms beyond literal Tj: kerned
+    arrays (word gap iff the kern is at or below -180) and hex strings —
+    byte-identical through BOTH the expression and the byte-level path."""
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    body = (
+        b"%PDF-1.4\n<< /Length 0 >>\nstream\nBT\n"
+        b"[(A) -120 (B)] TJ\n"          # intra-word kern: NO space
+        b"[(up) -240 (12) -500 (pc)] TJ\n"  # word kerns: spaces
+        b"<48656C6C6F> Tj\n"            # hex 'Hello'
+        b"< 48 65 78 > Tj\n"            # whitespace inside hex is legal
+        b"ET\nendstream\n%%EOF"
+    )
+    expected = "AB\nup 12 pc\nHello\nHex"
+    assert extract_pdf_bytes(body) == expected
+    df = spark.createDataFrame(
+        [("u", body.decode("ascii"))], "url string, pdf_text_raw string"
+    )
+    assert pdf_text(df).collect()[0]["text_out"] == expected
+
+
+def test_mixed_operators_round_trip(spark):
+    """operators='mixed' cycles Tj / TJ-array / hex across lines; extraction
+    recovers the exact text through expression AND byte paths, compressed
+    and uncompressed."""
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    lines = ["Quarterly report (draft)", "revenue up 12% vs Q1", "see tables"]
+    plain = make_simple_pdf(lines, operators="mixed")
+    assert b"] TJ" in plain and b"> Tj" in plain
+    assert _extract_one(spark, plain) == "\n".join(lines)
+    assert extract_pdf_bytes(plain) == "\n".join(lines)
+    comp = make_simple_pdf(lines, operators="mixed", compress=True)
+    assert extract_pdf_bytes(comp) == "\n".join(lines)
 
 
 def test_pdf_branch_is_pure_codegen(spark):

@@ -32,7 +32,7 @@ def _ok_urls(url_col):
     return ~(
         url_col.contains("rot-") | url_col.contains("bad-")
         | url_col.contains("zero-") | url_col.contains("html-") | url_col.contains("pdf-")
-        | url_col.contains("pdfz-") | url_col.contains("img-")
+        | url_col.contains("pdfz-") | url_col.contains("pdfm-") | url_col.contains("img-")
     )
 
 
@@ -61,6 +61,7 @@ def test_errors_as_values(results):
         "pdf-0": "Unsupported image format",
         "pdf-1": "Unsupported image format",
         "pdfz-0": "Unsupported image format",
+        "pdfm-0": "Unsupported image format",
         "pdfz-1": "Unsupported image format",
         "img-png": "Unsupported image format",
         "img-jpeg": "Unsupported image format",
@@ -142,8 +143,8 @@ def test_metrics_lineage(results):
     m = metrics_df(results).collect()
     assert sum(r["pages"] for r in m) == results.count()
     assert all(r["partition_id"] >= 0 for r in m)
-    # 2 bad + 2 html + 4 pdf + 2 image payloads through the OCR-only surface
-    assert sum(r["errors"] for r in m) == 10
+    # 2 bad + 2 html + 5 pdf + 2 image payloads through the OCR-only surface
+    assert sum(r["errors"] for r in m) == 11
 
 
 def test_rebalance_partitioning(spark, pages):
