@@ -130,7 +130,22 @@ def rolling_fingerprints(docs: DataFrame, *, window: int | None = None) -> DataF
         hi, lo = tables
         return (hi[k >> 10] * lo[k & (_LO - 1)]) % p
 
+    def _seg_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Concatenated [s, s+len) ranges: the segmented-arange idiom that
+        makes every per-document loop below a single numpy expression."""
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        return np.repeat(starts - offs, lens) + np.arange(total, dtype=np.int64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE concatenated buffer per Arrow batch (the _token_hashes_batch
+        # pattern, dedup.py): for short-document corpora the per-document
+        # Python/allocation overhead dominates, so all per-doc math below is
+        # segmented numpy (reduceat) over the batch buffer — zero per-doc
+        # Python beyond the normalize/encode step.
         tables: dict[str, tuple] = {}
 
         def pows(name, base, n):
@@ -140,36 +155,62 @@ def rolling_fingerprints(docs: DataFrame, *, window: int | None = None) -> DataF
             return t
 
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                norm = re.sub(r"\s+", " ", (text or "").lower()).encode()
-                c = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
-                n = len(c)
-                if n == 0:
-                    out.append({"doc_id": doc_id, "rolling_fp": 0})
-                    continue
-                if window is None or n <= window:
-                    pw = _pow_at(pows("b", b, n), np.arange(n - 1, -1, -1))
-                    h = int((c * pw % p).sum() % p)
-                else:
-                    # every window hash from prefix sums (no per-char Python):
-                    #   h_t = (P[t+w] - P[t]) * B^(t+w-1)  with
-                    #   P[k] = sum_{i<k} c_i * B^-i  (all mod p)
-                    inv = _pow_at(pows("binv", b_inv, n), np.arange(n))
-                    prod = c * inv % p  # < 2^39; safe to cumsum 2^24 terms
-                    pref = np.zeros(n + 1, dtype=np.uint64)
+            texts = [
+                re.sub(r"\s+", " ", (t or "").lower()).encode() for t in pdf["text"]
+            ]
+            counts = np.array([len(t) for t in texts], dtype=np.int64)
+            buf = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+            n_total = len(buf)
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            ends = starts + counts
+            out = np.zeros(len(counts), dtype=np.int64)  # empty docs stay 0
+
+            nonempty = counts > 0
+            whole = nonempty if window is None else nonempty & (counts <= window)
+            if whole.any():
+                # h_d = sum(c_j * B^(end_d-1-j)) mod p over global positions j
+                idx = _seg_arange(starts[whole], counts[whole])
+                k = np.repeat(ends[whole] - 1, counts[whole]) - idx
+                terms = buf[idx] * _pow_at(pows("b", b, n_total), k) % p
+                offs = np.zeros(int(whole.sum()), dtype=np.int64)
+                np.cumsum(counts[whole][:-1], out=offs[1:])
+                out[np.flatnonzero(whole)] = (np.add.reduceat(terms, offs) % p).astype(
+                    np.int64
+                )
+
+            if window is not None:
+                win = nonempty & (counts > window)
+                if win.any():
+                    # every window hash from ONE global prefix sum: the
+                    # position-invariant identity h_t = (P[t+w]-P[t])*B^(t+w-1)
+                    # holds at global coordinates as long as each evaluated t
+                    # stays inside its document (t in [start_d, end_d - w])
+                    inv = _pow_at(
+                        pows("binv", b_inv, n_total), np.arange(n_total, dtype=np.int64)
+                    )
+                    prod = buf * inv % p  # < 2^31; safe to cumsum 2^20 terms
+                    pref = np.zeros(n_total + 1, dtype=np.uint64)
                     chunk = 1 << 20
                     carry = np.uint64(0)
-                    for s in range(0, n, chunk):
+                    for s in range(0, n_total, chunk):
                         seg = prod[s : s + chunk].cumsum()
                         pref[s + 1 : s + 1 + len(seg)] = (seg + carry) % p
                         carry = pref[s + len(seg)]
-                    t_idx = np.arange(n - window + 1)
-                    scale = _pow_at(pows("b", b, n + window), t_idx + (window - 1))
+                    lens_w = counts[win] - window + 1
+                    t_idx = _seg_arange(starts[win], lens_w)
+                    scale = _pow_at(pows("b", b, n_total + window), t_idx + (window - 1))
                     hs = (pref[t_idx + window] + p - pref[t_idx]) % p * scale % p
-                    h = int(hs.min())
-                out.append({"doc_id": doc_id, "rolling_fp": h})
-            yield pd.DataFrame(out, columns=["doc_id", "rolling_fp"])
+                    offs = np.zeros(int(win.sum()), dtype=np.int64)
+                    np.cumsum(lens_w[:-1], out=offs[1:])
+                    out[np.flatnonzero(win)] = np.minimum.reduceat(hs, offs).astype(
+                        np.int64
+                    )
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "rolling_fp": out},
+                columns=["doc_id", "rolling_fp"],
+            )
 
     from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
 

@@ -98,8 +98,10 @@ def _strip_containers(html: Column) -> Column:
     return h
 
 
-def main_content_expr(html: Column) -> Column:
-    """html string -> extracted main text (blocks joined with newlines)."""
+def _kept_blocks(html: Column) -> Column:
+    """The shared block pipeline: strip containers, split at block tags,
+    compute per-block text + link density, keep non-empty low-link blocks.
+    Returns the array<struct<txt,link_len>> every consumer filters/joins."""
     segs = F.split(_strip_containers(html), _BLOCK_SPLIT)
     blocks = F.transform(
         segs,
@@ -113,12 +115,54 @@ def main_content_expr(html: Column) -> Column:
             ).alias("link_len"),
         ),
     )
-    kept = F.filter(
+    return F.filter(
         blocks,
         lambda b: (b["txt"] != "")
         & (b["link_len"] * 3 <= F.length(b["txt"])),
     )
-    return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
+
+
+def main_content_expr(html: Column) -> Column:
+    """html string -> extracted main text (blocks joined with newlines)."""
+    return F.array_join(F.transform(_kept_blocks(html), lambda b: b["txt"]), "\n")
+
+
+def block_quality_expr(txt: Column) -> Column:
+    """The textstats.quality_score composite applied to ONE block's text —
+    identical constants/rounding so the DuckDB twin reproduces it exactly."""
+    from tesseract_wasm_spark.datapipe.textstats import EN_STOPWORDS_RE  # noqa: PLC0415
+
+    n_chars = F.length(txt)
+    ws_tokens = F.size(F.split(F.trim(txt), r"\s+"))
+    punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    stop = F.size(F.regexp_extract_all(F.lower(txt), F.lit(EN_STOPWORDS_RE), 0))
+    punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop.cast("double") / F.greatest(ws_tokens, F.lit(1)), 6)
+    return F.round(
+        F.least(F.lit(1.0), ws_tokens.cast("double") / 64.0) * 0.4
+        + F.least(F.lit(1.0), stop_ratio * 4.0) * 0.3
+        + (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0)) * 0.3,
+        6,
+    )
+
+
+def quality_filtered_main_text(docs: DataFrame, *, html_col: str = "html_text",
+                               id_col: str = "url",
+                               min_quality: float = 0.2) -> DataFrame:
+    """Per-block quality composition — the LLM-training-pipeline filter that
+    drops junk blocks (symbol soup, SEO keyword strings) BEFORE the page's
+    main text is assembled: boilerplate strip -> link-density keep ->
+    per-block quality composite >= min_quality -> join. Pure whole-stage
+    codegen expressions end to end (zero Python), so at 100 TB it stays a
+    single-pass map over the scan like main_content."""
+    good = F.filter(
+        _kept_blocks(F.col(html_col)),
+        lambda b: block_quality_expr(b["txt"]) >= F.lit(min_quality),
+    )
+    return docs.select(
+        id_col,
+        F.array_join(F.transform(good, lambda b: b["txt"]), "\n").alias("main_text"),
+    )
 
 
 def main_content(docs: DataFrame, *, html_col: str = "html_text",
@@ -134,20 +178,7 @@ def main_content_blocks(docs: DataFrame, *, html_col: str = "html_text",
     """Exploded per-block view of the extraction: (id, block_pos, block_text)
     for every kept block — the granularity for per-block analyses (language
     mix inside one page, per-block quality scoring)."""
-    blocks = F.split(_strip_containers(F.col(html_col)), _BLOCK_SPLIT)
-    kept = F.filter(
-        F.transform(
-            blocks,
-            lambda s: F.struct(
-                _block_text(s).alias("txt"),
-                F.coalesce(
-                    F.length(F.array_join(F.regexp_extract_all(s, F.lit(_ANCHOR_TEXT), 1), "")),
-                    F.lit(0),
-                ).alias("link_len"),
-            ),
-        ),
-        lambda b: (b["txt"] != "") & (b["link_len"] * 3 <= F.length(b["txt"])),
-    )
+    kept = _kept_blocks(F.col(html_col))
     return docs.select(
         id_col, F.posexplode(F.transform(kept, lambda b: b["txt"])).alias("block_pos", "block_text")
     )

@@ -597,7 +597,7 @@ _SQL_HTML_PAGE = (
 )
 
 
-def _sql_html_main_text() -> str:
+def _sql_html_pipeline(page_sql: str, min_quality: float | None = None) -> str:
     # numeric-reference decode, same regex + split-and-rebuild as the Spark
     # extractor (webtext._decode_num_entities) — interpolated, never re-typed
     from tesseract_wasm_spark.datapipe.webtext import _NUM_ENT  # noqa: PLC0415
@@ -625,8 +625,24 @@ def _sql_html_main_text() -> str:
     txt = (
         rf"trim(regexp_replace(replace({dec(named)}, '&amp;', '&'), '\s+', ' ', 'g'))"
     )
+    qfilter = ""
+    if min_quality is not None:
+        # the textstats quality composite over one block's text — identical
+        # constants and rounding as webtext.block_quality_expr
+        from tesseract_wasm_spark.datapipe.textstats import EN_STOPWORDS_RE  # noqa: PLC0415
+
+        ws = r"len(string_split_regex(trim(b.txt), '\s+'))"
+        punct = r"coalesce(len(regexp_extract_all(b.txt, '[^A-Za-z0-9\s]')), 0)"
+        stop = f"coalesce(len(regexp_extract_all(lower(b.txt), '{EN_STOPWORDS_RE}')), 0)"
+        quality = (
+            f"round(least(1.0, CAST({ws} AS DOUBLE) / 64.0) * 0.4"
+            f" + least(1.0, round(CAST({stop} AS DOUBLE) / greatest({ws}, 1), 6) * 4.0) * 0.3"
+            f" + (1.0 - least(1.0, round(CAST({punct} AS DOUBLE) / greatest(length(b.txt), 1), 6)"
+            f" * 10.0)) * 0.3, 6)"
+        )
+        qfilter = f" AND {quality} >= {min_quality}"
     return rf"""
-WITH pages AS (SELECT doc_id, {_SQL_HTML_PAGE} AS h FROM documents),
+WITH pages AS (SELECT doc_id, {page_sql} AS h FROM documents),
 t2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
         '(?s)<!--.*?-->', ' ', 'g'),
         '(?is)<script\b.*?</script>', ' ', 'g'),
@@ -648,13 +664,57 @@ blocks AS (
 )
 SELECT doc_id, array_to_string(
   list_transform(
-    list_filter(bs, b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt)),
+    list_filter(bs, b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt){qfilter}),
     b -> b.txt), chr(10)) AS main_text
 FROM blocks
 """
 
 
-SQL_HTML_MAIN_TEXT = _sql_html_main_text()
+SQL_HTML_MAIN_TEXT = _sql_html_pipeline(_SQL_HTML_PAGE)
+
+
+def html_quality_blocks(spark, sf_dir):
+    """Per-block quality composition (the LLM-pipeline junk-block filter):
+    the built page carries the document text PLUS a symbol-soup paragraph;
+    extraction must keep the text block and drop the junk block on its
+    quality composite — boilerplate strip x link density x per-block quality,
+    all whole-stage-codegen expressions. Dual derivation: the DuckDB oracle
+    builds the same page and runs the same strip + quality pipeline."""
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        html_escape_expr,
+        quality_filtered_main_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>doc</title><script>var a = 1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+            "<article><p>"
+        ),
+        html_escape_expr(F.col("text")),
+        F.lit(
+            "</p><p>!!! ??? ... #### %% ^^</p></article>"
+            "<footer>2024 example corp</footer></body></html>"
+        ),
+    )
+    return quality_filtered_main_text(
+        docs.select("doc_id", page.alias("h")), html_col="h", id_col="doc_id"
+    )
+
+
+_SQL_QUALITY_PAGE = (
+    "'<html><head><title>doc</title><script>var a = 1;</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+    "<article><p>' || "
+    "replace(replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'&', '&amp;', 'g'), "
+    "'<', '&lt;', 'g'), '>', '&gt;', 'g'), '\"', '&#34;'), chr(39), '&#x27;') || "
+    "'</p><p>!!! ??? ... #### %% ^^</p></article>"
+    "<footer>2024 example corp</footer></body></html>'"
+)
+
+SQL_HTML_QUALITY = _sql_html_pipeline(_SQL_QUALITY_PAGE, min_quality=0.2)
 
 
 def pdf_text(spark, sf_dir):
@@ -1131,6 +1191,7 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_rolling_fp": (text_rolling_fp, SQL_TEXT_ROLLING_FP),
     "html_main_text": (html_main_text, SQL_HTML_MAIN_TEXT),
+    "html_quality_blocks": (html_quality_blocks, SQL_HTML_QUALITY),
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally

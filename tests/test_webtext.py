@@ -107,6 +107,36 @@ def test_extract_any_single_scan(spark, tmp_path):
     assert "warc_ts" not in read_schema[0]
 
 
+def test_quality_filtered_main_text(spark):
+    """The per-block quality filter drops symbol-soup blocks the link-density
+    heuristic keeps, and leaves real text blocks untouched."""
+    from tesseract_wasm_spark.datapipe.webtext import (
+        main_content,
+        quality_filtered_main_text,
+    )
+
+    html = (
+        "<html><body><article>"
+        "<p>the quick brown fox jumps over the lazy dog in the park with the kids</p>"
+        "<p>!!! ??? ... #### %% ^^</p>"
+        "<p>a second real paragraph about the weather and the news of the day</p>"
+        "</article></body></html>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html_text string")
+    # link-density alone keeps the junk block; quality drops it
+    plain = main_content(df).collect()[0]["main_text"]
+    assert "!!!" in plain
+    out = quality_filtered_main_text(df).collect()[0]["main_text"]
+    assert out == (
+        "the quick brown fox jumps over the lazy dog in the park with the kids\n"
+        "a second real paragraph about the weather and the news of the day"
+    )
+    # pure codegen: no Python node in the plan
+    qdf = quality_filtered_main_text(df)
+    p = qdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
 def test_block_languages_detect_mixed_page(spark):
     """Per-block language ID catches a mixed-language page that a
     whole-document classifier would average away."""
