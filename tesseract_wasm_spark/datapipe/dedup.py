@@ -87,7 +87,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3, threshold: float = 0.5,
     ``block_col`` restricts the quadratic join to within-block pairs (at scale
     the blocks come from LSH buckets — see minhash_candidates; unblocked this
     is the small-scale baseline / verification kernel)."""
-    sh = docs.select(
+    sh = _spread(docs.select("doc_id", "text", *([block_col] if block_col else []))).select(
         F.col("doc_id"), _word_ngrams(F.col("text"), n).alias("shingles"),
         *( [F.col(block_col)] if block_col else [] ),
     )
@@ -459,7 +459,14 @@ def minhash_near_duplicates(docs: DataFrame, *, num_perm: int = 64, bands: int =
     banded = minhash_banded(docs, num_perm=num_perm, bands=bands, ngram=ngram)
     cands = bucket_pairs(banded, ["band_id", "bucket"], max_bucket=max_bucket,
                          dropped=dropped)
-    sh = docs.select("doc_id", _word_ngrams(F.col("text"), ngram).alias("shingles"))
+    # _spread BEFORE the shingle projection: the n-gram expression is the
+    # dominant verify-stage cost and must not evaluate on a single-partition
+    # local read (the projection stays above the exchange — Catalyst prunes
+    # columns through it but never pushes computed expressions down). Found
+    # by the 1x-vs-10x scale measurement in bench.py --minhash-scale.
+    sh = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", _word_ngrams(F.col("text"), ngram).alias("shingles")
+    )
     # verification join strategy is left to Catalyst/AQE deliberately: at
     # bench scale the shingled corpus is broadcast (file stats say tiny);
     # at real scale those same stats say huge, so the candidate side — orders
