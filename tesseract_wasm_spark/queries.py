@@ -597,10 +597,15 @@ _SQL_HTML_PAGE = (
 )
 
 
-def _sql_html_pipeline(page_sql: str, min_quality: float | None = None) -> str:
-    # numeric-reference decode, same regex + split-and-rebuild as the Spark
-    # extractor (webtext._decode_num_entities) — interpolated, never re-typed
-    from tesseract_wasm_spark.datapipe.webtext import _NUM_ENT  # noqa: PLC0415
+def _sql_main_text_over(col_sql: str, min_quality: float | None = None) -> str:
+    """ONE DuckDB expression computing the extracted main text from a raw
+    html-string expression — the twin of webtext.main_content_expr (and,
+    with ``min_quality``, of quality_filtered_main_text). Every regex is
+    interpolated from the Spark extractor's own constants, never re-typed,
+    so the two engines cannot drift."""
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        _ANCHOR_TEXT, _BLOCK_SPLIT, _CONTAINER_TAGS, _NUM_ENT,
+    )
 
     def dec(src: str) -> str:
         # coalesce ×2: DuckDB regexp_extract_all returns NULL (not []) on no
@@ -641,32 +646,29 @@ def _sql_html_pipeline(page_sql: str, min_quality: float | None = None) -> str:
             f" * 10.0)) * 0.3, 6)"
         )
         qfilter = f" AND {quality} >= {min_quality}"
-    return rf"""
-WITH pages AS (SELECT doc_id, {page_sql} AS h FROM documents),
-t2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
-        '(?s)<!--.*?-->', ' ', 'g'),
-        '(?is)<script\b.*?</script>', ' ', 'g'),
-        '(?is)<style\b.*?</style>', ' ', 'g'),
-        '(?is)<head\b.*?</head>', ' ', 'g') AS h FROM pages),
-t3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
-        '(?is)<nav\b.*?</nav>', ' ', 'g'),
-        '(?is)<footer\b.*?</footer>', ' ', 'g'),
-        '(?is)<aside\b.*?</aside>', ' ', 'g') AS h FROM t2),
-segs AS (SELECT doc_id, string_split_regex(h,
-        '(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|table|tr|td|section|article|body|html)[^>]*>') AS xs
-        FROM t3),
-blocks AS (
-  SELECT doc_id, list_transform(xs, s -> struct_pack(
-    txt := {txt},
-    link_len := coalesce(length(array_to_string(
-                  regexp_extract_all(s, '(?is)<a\b[^>]*>(.*?)</a>', 1), '')), 0)
-  )) AS bs FROM segs
-)
-SELECT doc_id, array_to_string(
-  list_transform(
-    list_filter(bs, b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt){qfilter}),
-    b -> b.txt), chr(10)) AS main_text
-FROM blocks
+    stripped = f"regexp_replace({col_sql}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in _CONTAINER_TAGS:
+        stripped = (
+            rf"regexp_replace({stripped}, '(?is)<{tag}\b.*?</{tag}>', ' ', 'g')"
+        )
+    blocks = (
+        f"list_transform(string_split_regex({stripped}, '{_BLOCK_SPLIT}'), "
+        f"s -> struct_pack(txt := {txt}, "
+        f"link_len := coalesce(length(array_to_string("
+        f"regexp_extract_all(s, '{_ANCHOR_TEXT}', 1), '')), 0)))"
+    )
+    return (
+        f"array_to_string(list_transform(list_filter({blocks}, "
+        f"b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt){qfilter}), "
+        f"b -> b.txt), chr(10))"
+    )
+
+
+def _sql_html_pipeline(page_sql: str, min_quality: float | None = None) -> str:
+    return f"""
+WITH pages AS (SELECT doc_id, {page_sql} AS h FROM documents)
+SELECT doc_id, {_sql_main_text_over('h', min_quality)} AS main_text
+FROM pages
 """
 
 
@@ -743,16 +745,35 @@ def pdf_text(spark, sf_dir):
     return docs.select("doc_id", pdf_text_expr(page).alias("text_out"))
 
 
-def _sql_pdf_text() -> str:
-    # the SAME RE2-safe regexes the Spark extractor compiles (pdftext.py) —
-    # interpolated, not re-typed, so the two engines cannot drift
+def _sql_pdf_runs_over(col_sql: str) -> str:
+    """ONE DuckDB expression extracting PDF text (all three show-operator
+    forms) from a raw pdf-string expression — the twin of
+    pdftext.pdf_text_expr, regexes interpolated from the extractor itself."""
     from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
-        _SHOW_OP, _STR, _TJ_ELEM, TJ_SPACE_KERN,
+        _BT_ET, _SHOW_OP, _STR, _TJ_ELEM, TJ_SPACE_KERN,
     )
 
     unesc = ("replace(replace(replace({0}, chr(92) || '(', '('), "
              "chr(92) || ')', ')'), chr(92) || chr(92), chr(92))")
     hexdec = "decode(unhex(regexp_replace({0}, '[^0-9A-Fa-f]', '', 'g')))"
+    ops = (
+        f"flatten(list_transform(coalesce(regexp_extract_all({col_sql}, '{_BT_ET}', 1), []), "
+        f"b -> coalesce(regexp_extract_all(b, '{_SHOW_OP}', 0), [])))"
+    )
+    return f"""coalesce(array_to_string(list_transform({ops}, op ->
+  CASE
+    WHEN op LIKE '[%' THEN array_to_string(list_transform(
+        regexp_extract_all(op, '{_TJ_ELEM}', 0), e ->
+        CASE WHEN e LIKE '(%' THEN {unesc.format("regexp_extract(e, '" + _STR + "', 1)")}
+             WHEN e LIKE '<%' THEN {hexdec.format("e")}
+             WHEN TRY_CAST(e AS DOUBLE) <= {TJ_SPACE_KERN} THEN ' '
+             ELSE '' END), '')
+    WHEN op LIKE '<%' THEN {hexdec.format("op")}
+    ELSE {unesc.format("regexp_extract(op, '" + _STR + "', 1)")}
+  END), chr(10)), '')"""
+
+
+def _sql_pdf_text() -> str:
     return f"""
 WITH pages AS (
   SELECT doc_id,
@@ -766,23 +787,9 @@ WITH pages AS (
     || '<6865782072756E> Tj' || chr(10) || 'ET' || chr(10)
     || 'endstream' || chr(10) || 'endobj' || chr(10) || '%%EOF' AS p
   FROM documents
-),
-blocks AS (SELECT doc_id, regexp_extract_all(p, '(?s)BT(.*?)ET', 1) AS bs FROM pages),
-ops AS (SELECT doc_id, flatten(list_transform(bs,
-          b -> regexp_extract_all(b, '{_SHOW_OP}', 0))) AS os
-        FROM blocks)
-SELECT doc_id, array_to_string(list_transform(os, op ->
-  CASE
-    WHEN op LIKE '[%' THEN array_to_string(list_transform(
-        regexp_extract_all(op, '{_TJ_ELEM}', 0), e ->
-        CASE WHEN e LIKE '(%' THEN {unesc.format("regexp_extract(e, '" + _STR + "', 1)")}
-             WHEN e LIKE '<%' THEN {hexdec.format("e")}
-             WHEN TRY_CAST(e AS DOUBLE) <= {TJ_SPACE_KERN} THEN ' '
-             ELSE '' END), '')
-    WHEN op LIKE '<%' THEN {hexdec.format("op")}
-    ELSE {unesc.format("regexp_extract(op, '" + _STR + "', 1)")}
-  END), chr(10)) AS text_out
-FROM ops
+)
+SELECT doc_id, {_sql_pdf_runs_over('p')} AS text_out
+FROM pages
 """
 
 
@@ -791,16 +798,63 @@ SQL_PDF_TEXT = _sql_pdf_text()
 
 def extract_mixed(spark, sf_dir):
     """Unified extraction over the mixed fixture corpus (DRF images -> OCR,
-    HTML payloads -> webtext strip); errors stay values. Golden-snapshot
-    oracle (the engine side is not SQL-expressible); byte-identity vs ground
-    truth is separately pinned in tests/test_webtext.py."""
+    PDFs -> byte-level stream parse, HTML -> webtext strip, PNG/JPEG ->
+    explicit error rows); errors stay values. The oracle DERIVES the result
+    from the RAW PAYLOADS (committed as the fixture_pages input golden):
+    kind from the binary prefix, html rows through the full SQL strip
+    pipeline, uncompressed-PDF rows through the full SQL show-op parse,
+    image rows as error expressions — only the OCR rows (engine not
+    SQL-expressible; cross-checked against the ocr_text/ocr_errors goldens)
+    and FlateDecode PDFs (no zlib in SQL; checked against the fixtures'
+    ground-truth text column) are not re-derived."""
     from tesseract_wasm_spark.fixtures import fixtures_df  # noqa: PLC0415
     from tesseract_wasm_spark.pipeline import extract_any  # noqa: PLC0415
 
     return extract_any(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
 
 
-SQL_EXTRACT_MIXED = f"SELECT * FROM read_parquet('{_golden('extract_mixed')}')"
+def _sql_extract_mixed() -> str:
+    # the same binary-prefix dispatch as pipeline.extract_any, over the raw
+    # payload blobs; BLOB::VARCHAR escapes non-UTF8 bytes as \xNN text, which
+    # preserves every ASCII region the extractors parse
+    return f"""
+WITH p AS (SELECT url,
+                  -- BLOB::VARCHAR renders the backslash BYTE as the 4-char
+                  -- sequence \\x5C; restore it so PDF escape sequences parse
+                  replace(html::VARCHAR, chr(92) || 'x5C', chr(92)) AS hs,
+                  text
+           FROM read_parquet('{_golden('fixture_pages')}')),
+k AS (SELECT url, hs, text,
+        CASE WHEN starts_with(hs, 'DRF1') THEN 'ocr'
+             WHEN starts_with(hs, '%PDF-') THEN 'pdf'
+             WHEN starts_with(hs, unhex('89504E470D0A1A0A')::VARCHAR) THEN 'png'
+             WHEN starts_with(hs, unhex('FFD8FF')::VARCHAR) THEN 'jpeg'
+             ELSE 'html' END AS k0
+      FROM p)
+SELECT url, 'html' AS kind, {_sql_main_text_over('hs')} AS text_out,
+       CAST(NULL AS VARCHAR) AS error
+FROM k WHERE k0 = 'html'
+UNION ALL
+SELECT url, 'image' AS kind, CAST(NULL AS VARCHAR) AS text_out,
+       'decoder not available: ' || k0 AS error
+FROM k WHERE k0 IN ('png', 'jpeg')
+UNION ALL
+SELECT url, 'pdf' AS kind,
+       CASE WHEN contains(hs, '/FlateDecode')
+            THEN text  -- zlib is not SQL-expressible: ground-truth text
+            ELSE {_sql_pdf_runs_over('hs')} END AS text_out,
+       CAST(NULL AS VARCHAR) AS error
+FROM k WHERE k0 = 'pdf'
+UNION ALL
+SELECT k.url, 'ocr' AS kind, coalesce(t.text_out, '') AS text_out, e.error
+FROM k
+LEFT JOIN read_parquet('{_golden('ocr_text')}') t ON t.url = k.url
+LEFT JOIN read_parquet('{_golden('ocr_errors')}') e ON e.url = k.url
+WHERE k0 = 'ocr'
+"""
+
+
+SQL_EXTRACT_MIXED = _sql_extract_mixed()
 
 
 def text_fingerprint(spark, sf_dir):

@@ -53,10 +53,18 @@ def main() -> None:
     spark = get_spark(cores=8)
 
     # --- OCR surface (sf-independent: runs on the deterministic fixtures)
-    for name in ("ocr_text", "ocr_words", "ocr_errors", "ocr_media_metadata",
-                 "extract_mixed"):
+    for name in ("ocr_text", "ocr_words", "ocr_errors", "ocr_media_metadata"):
         fn = Q.REGISTRY[name][0]
         write_golden(fn(spark, SF_DIR), name)
+
+    # raw fixture INPUTS (payload blobs + ground-truth text): the
+    # extract_mixed oracle re-derives extraction from these in SQL — an
+    # input snapshot, not an output echo
+    from tesseract_wasm_spark.fixtures import fixtures_df
+    write_golden(
+        fixtures_df(spark, n_corpus_pages=16).select("url", "html", "text"),
+        "fixture_pages",
+    )
     # (no goldens needed for: ocr_lines — oracle re-derives the rollup from
     #  the ocr_words golden; ocr_layout — re-derived from ocr_words (the
     #  layout-only boxes ARE the word rects, reference ocr-engine.ts:236-239);
