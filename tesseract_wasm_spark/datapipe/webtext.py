@@ -26,12 +26,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: tags whose entire element is boilerplate (non-greedy match; same-tag
-#: nesting is out of heuristic scope, as in the classic implementations)
-_CONTAINER_TAGS = ("script", "style", "head", "nav", "footer", "aside")
+#: nesting is out of heuristic scope, as in the classic implementations).
+#: NOTE '<head\\b' does not match '<header' (\\b fails before 'e'), so both
+#: can coexist. Cost note: each tag is one regexp_replace pass over the
+#: payload — linear in tag count, all inside whole-stage codegen.
+_CONTAINER_TAGS = (
+    "script", "style", "head", "nav", "footer", "aside",
+    "header", "form", "noscript", "iframe", "svg", "figure",
+)
 
 #: block-level boundaries that delimit candidate text blocks
 _BLOCK_SPLIT = (
-    r"(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|table|tr|td|section|article|body|html)[^>]*>"
+    r"(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|table|tr|td|section|"
+    r"article|main|blockquote|pre|dd|dt|body|html)[^>]*>"
 )
 
 _ANCHOR_TEXT = r"(?is)<a\b[^>]*>(.*?)</a>"

@@ -1085,12 +1085,32 @@ SQL_OCR_HOCR = _sql_hocr()
 
 
 def ocr_errors(spark, sf_dir):
+    """Error-as-value rows through the OCR surface; the oracle DERIVES them
+    from the other goldens (a cross-surface invariant, not an echo): any
+    payload without the DRF magic fails with the reference's 'Unsupported
+    image format' (drf.py ERR_BAD_MAGIC, reference src/lib.cpp:70-75), and
+    DRF payloads fail with exactly the decode error the media-metadata probe
+    reported for the same url (both surfaces call the same decoder)."""
     from tesseract_wasm_spark.outputs import errors_df  # noqa: PLC0415
 
     return errors_df(_fixture_results(spark))
 
 
-SQL_OCR_ERRORS = f"SELECT * FROM read_parquet('{_golden('ocr_errors')}')"
+def _sql_ocr_errors() -> str:
+    from tesseract_wasm_spark.drf import ERR_BAD_MAGIC  # noqa: PLC0415
+
+    return f"""
+SELECT url, '{ERR_BAD_MAGIC}' AS error
+FROM read_parquet('{_golden('fixture_pages')}')
+WHERE NOT starts_with(html::VARCHAR, 'DRF1')
+UNION ALL
+SELECT url, decode_error AS error
+FROM read_parquet('{_golden('ocr_media_metadata')}')
+WHERE format = 'drf' AND decode_error IS NOT NULL
+"""
+
+
+SQL_OCR_ERRORS = _sql_ocr_errors()
 
 
 def text_rolling_fp(spark, sf_dir):

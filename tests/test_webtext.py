@@ -107,6 +107,33 @@ def test_extract_any_single_scan(spark, tmp_path):
     assert "warc_ts" not in read_schema[0]
 
 
+def test_container_and_block_tag_breadth(spark):
+    """Common-Crawl-shaped boilerplate beyond the classic six containers:
+    header/form/noscript/iframe/svg/figure are stripped whole; h4-h6,
+    blockquote, pre, main, dd/dt delimit blocks."""
+    html = (
+        "<html><head><title>t</title></head><body>"
+        "<header>site chrome <a href='/'>logo</a></header>"
+        "<form><input name='q'>search the archive</form>"
+        "<noscript>enable javascript to continue</noscript>"
+        "<iframe src='/ad'>ad frame text</iframe>"
+        "<svg><text>chart label</text></svg>"
+        "<figure><figcaption>figure caption text</figcaption></figure>"
+        "<main><h4>deep heading</h4><blockquote>a quoted passage that is long enough</blockquote>"
+        "<pre>preformatted code block</pre>"
+        "<dl><dt>term</dt><dd>definition text for the term</dd></dl></main>"
+        "</body></html>"
+    )
+    out = _extract_one(spark, html)
+    for gone in ("site chrome", "search the archive", "enable javascript",
+                 "ad frame text", "chart label", "figure caption"):
+        assert gone not in out
+    assert out.splitlines() == [
+        "deep heading", "a quoted passage that is long enough",
+        "preformatted code block", "term", "definition text for the term",
+    ]
+
+
 def test_quality_filtered_main_text(spark):
     """The per-block quality filter drops symbol-soup blocks the link-density
     heuristic keeps, and leaves real text blocks untouched."""
