@@ -1114,14 +1114,32 @@ SQL_OCR_ERRORS = _sql_ocr_errors()
 
 
 def text_rolling_fp(spark, sf_dir):
+    """Rabin-Karp whole-document fingerprint; the oracle re-derives the SAME
+    polynomial hash in SQL — h = sum(c_i * B^(n-1-i)) mod p is the Horner
+    fold acc -> (acc*B + c) mod p, which DuckDB expresses with list_reduce
+    over the normalized character codes. Full dual derivation (ASCII corpus:
+    unicode(char) == utf-8 byte; the engine hashes the encoded bytes)."""
     from tesseract_wasm_spark.datapipe.textstats import rolling_fingerprints  # noqa: PLC0415
 
     return rolling_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-SQL_TEXT_ROLLING_FP = (
-    f"SELECT doc_id, rolling_fp FROM read_parquet('{_golden('text_rolling_fp_sf001')}')"
-)
+def _sql_rolling_fp() -> str:
+    from tesseract_wasm_spark.datapipe.textstats import ROLL_BASE, ROLL_PRIME  # noqa: PLC0415
+
+    return rf"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ''),
+             c -> CAST(unicode(c) AS BIGINT))),
+         (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_PRIME}) AS rolling_fp
+FROM documents
+"""
+
+
+SQL_TEXT_ROLLING_FP = _sql_rolling_fp()
 
 # dedup_simhash oracle: the pigeonhole banding filter has EXACT recall (any
 # pair within Hamming k must share one of k+1 chunks), so the banded output

@@ -37,7 +37,7 @@ def _canon(rows, cols):
 #: entries whose oracle reads a golden snapshot generated at the DRIVER's
 #: gate SF (0.01) — their parity only holds against the sf0.01 tables
 #: (tools/make_goldens.py regenerates; the driver always compares at sf0.01)
-SF_LOCKED = {"text_rolling_fp", "dedup_simhash", "sim_srp_pairs", "ann_ivf"}
+SF_LOCKED = {"dedup_simhash", "sim_srp_pairs", "ann_ivf"}
 SF_LOCKED_DIR = "/root/testdata/sf0.01"
 
 

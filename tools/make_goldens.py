@@ -1,7 +1,7 @@
 """Regenerate the committed golden-parquet oracles under tests/golden/oracle/.
 
 The OCR-surface driver entries (queries.py ocr_*) and the hash-defined
-datapipe entries (dedup_simhash, sim_srp_pairs, ann_ivf, text_rolling_fp) are
+datapipe entries (dedup_simhash, sim_srp_pairs, ann_ivf) are
 not SQL-expressible from the raw tables, so their DuckDB oracles read these
 committed snapshots (and, where the entry is a derivation, re-derive it in
 SQL — see queries.py for which side does real work).
@@ -126,8 +126,8 @@ def main() -> None:
     probes = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
     write_golden(probes, "ivf_probes_sf001")
 
-    from tesseract_wasm_spark.datapipe.textstats import rolling_fingerprints
-    write_golden(rolling_fingerprints(docs), "text_rolling_fp_sf001")
+    # (text_rolling_fp needs no golden: the oracle re-derives the polynomial
+    #  hash itself with a list_reduce Horner fold in SQL)
 
     spark.stop()
     print("done")
