@@ -892,12 +892,23 @@ def _fixture_results(spark):
 
 
 def ocr_text(spark, sf_dir):
+    """getText over the fixture corpus. The oracle checks byte-identity
+    against the fixtures' GROUND-TRUTH text (the north-rule invariant
+    itself) for every page whose truth is defined — upright, skewed (deskew
+    must restore them), deu, two-column, empty; only the 3 rotated pages
+    (ground truth '', engine output is the upside-down/rotated read) echo
+    the committed engine golden."""
     from tesseract_wasm_spark.outputs import page_text_df  # noqa: PLC0415
 
     return page_text_df(_fixture_results(spark))
 
 
-SQL_OCR_TEXT = f"SELECT url, text_out FROM read_parquet('{_golden('ocr_text')}')"
+SQL_OCR_TEXT = f"""
+SELECT g.url,
+       CASE WHEN g.url LIKE '%/rot-%' THEN g.text_out ELSE p.text END AS text_out
+FROM read_parquet('{_golden('ocr_text')}') g
+JOIN read_parquet('{_golden('fixture_pages')}') p ON p.url = g.url
+"""
 
 
 def ocr_words(spark, sf_dir):
