@@ -56,6 +56,62 @@ def _mersenne_reduce(x: np.ndarray) -> np.ndarray:
     return np.where(x >= m, x - m, x)
 
 
+def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
+                       max_iters: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTER resolution: connected components over the
+    verified-pair graph via min-label propagation — the step that turns
+    pairwise near-dups into keep/drop decisions (keeper = the component's
+    min doc_id, the same convention as exact_duplicates).
+
+    Scale shape: each iteration is one (id->label) hash join + a groupBy of
+    (id, label) LONGS — the text never enters the loop — and the iteration
+    count is the component diameter, 2-3 for real dup clusters (near-
+    cliques); ``max_iters`` bounds pathological chains. The convergence
+    check is one count per iteration (bounded driver work, no collect of
+    rows). Returns (doc_id, cluster_id, is_keeper) for EVERY doc
+    (singletons are their own cluster)."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"),
+                              F.col("cluster_id").alias("_nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_min_nl"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_min_nl", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new.withColumnRenamed("cluster_id", "_new")
+            .join(labels, "doc_id")
+            .filter(F.col("_new") != F.col("cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeper = min
     doc_id, n_dups = group size."""

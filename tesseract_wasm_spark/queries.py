@@ -379,6 +379,113 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution (the keep/drop decision step of a
+    training-data dedup pass): verified n-gram-jaccard pairs -> connected
+    components by iterative min-label propagation -> keeper = component min.
+    The DuckDB oracle re-derives the pairs AND the components independently
+    (transitive closure via a recursive CTE)."""
+    from tesseract_wasm_spark.datapipe.dedup import (  # noqa: PLC0415
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, block_col="source")
+    return duplicate_clusters(pairs, docs)
+
+
+_SQL_NGRAM_PAIRS_CTE = """
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [array_to_string(toks, ' ')]
+         END AS shingles
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.2
+)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT d.doc_id,
+       least(d.doc_id,
+             coalesce((SELECT min(dst) FROM reach WHERE src = d.doc_id),
+                      d.doc_id)) AS cluster_id,
+       least(d.doc_id,
+             coalesce((SELECT min(dst) FROM reach WHERE src = d.doc_id),
+                      d.doc_id)) = d.doc_id AS is_keeper
+FROM documents d
+"""
+
+
+def sample_domain_cap(spark, sf_dir):
+    """Per-source quality cap — the 'at most K documents per domain, best
+    first' sampling stage of a crawl pipeline: quality composite x window
+    rank inside each source, deterministic tie-break by doc_id."""
+    from tesseract_wasm_spark.datapipe.textstats import quality_score  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "quality", "rk")
+    )
+
+
+SQL_SAMPLE_DOMAIN_CAP = f"""
+WITH q AS ({{q}}),
+ranked AS (
+  SELECT q.doc_id, d.source, q.quality,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY q.quality DESC, q.doc_id) AS INT) AS rk
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def sample_hash(spark, sf_dir):
+    """Deterministic content-independent sampling: keep a doc iff the first
+    hex digit of md5(doc_id) falls in a fixed set — reproducible across
+    engines, runs, and cluster sizes (no RNG state), the standard way a
+    training pipeline carves stable held-out slices."""
+    docs = _t(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(digit.isin("0", "1")).select(
+        "doc_id", "source", digit.alias("bucket_digit")
+    )
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket_digit
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     from tesseract_wasm_spark.datapipe.dedup import minhash_near_duplicates  # noqa: PLC0415
 
@@ -554,6 +661,9 @@ SELECT doc_id, n_chars_computed, ws_tokens,
              6) AS quality
 FROM f
 """
+
+# the per-source cap oracle reuses the quality SQL verbatim (no drift)
+SQL_SAMPLE_DOMAIN_CAP = SQL_SAMPLE_DOMAIN_CAP.format(q=SQL_TEXT_QUALITY)
 
 
 def html_main_text(spark, sf_dir):
@@ -1283,6 +1393,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash": (dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_clusters": (dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "sample_domain_cap": (sample_domain_cap, SQL_SAMPLE_DOMAIN_CAP),
+    "sample_hash": (sample_hash, SQL_SAMPLE_HASH),
     "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding": (dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk": (ann_topk, SQL_ANN_TOPK),

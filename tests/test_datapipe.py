@@ -268,6 +268,43 @@ def test_bucket_stats_observability(spark, docs):
     assert total_rows == banded.count()
 
 
+def test_duplicate_clusters(spark, docs):
+    """Connected components over near-dup pairs: keeper = component min;
+    a CHAIN (a-b, b-c with no a-c pair) must still merge into one cluster
+    (requires >1 propagation iteration); singletons keep themselves."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 6), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in
+           dedup.duplicate_clusters(pairs, docs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[6] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (5, True)
+    # chain that needs two propagation rounds: 10-20, 20-30 (min label 10
+    # must reach 30 through 20)
+    chain_docs = spark.createDataFrame(
+        [(10, "x", "s"), (20, "y", "s"), (30, "z", "s")],
+        "doc_id long, text string, source string",
+    )
+    chain_pairs = spark.createDataFrame([(20, 30), (10, 20)], "doc_a long, doc_b long")
+    ch = {r["doc_id"]: r["cluster_id"] for r in
+          dedup.duplicate_clusters(chain_pairs, chain_docs).collect()}
+    assert ch == {10: 10, 20: 10, 30: 10}
+
+
+def test_sample_hash_deterministic(spark, docs):
+    """md5-digit sampling is stable across runs and partitionings."""
+    import hashlib
+
+    from tesseract_wasm_spark.queries import sample_hash
+
+    got = sorted(r["doc_id"] for r in sample_hash(spark, "/root/testdata/sf0.001").collect())
+    got2 = sorted(r["doc_id"] for r in sample_hash(spark, "/root/testdata/sf0.001").collect())
+    assert got == got2 and len(got) > 0
+    for d in got[:10]:
+        assert hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
+
+
 def test_degenerate_bucket_cap(spark, docs):
     """The 100 TB LSH OOM guard: a band value shared by a huge slice of the
     corpus (planted here as many empty documents, which hash identically in
