@@ -87,6 +87,42 @@ def extract_stream(
     return writer.start()
 
 
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact deduplication: new page files -> one surviving row per
+    payload content within the watermark horizon. The state key is
+    md5(payload) — 16 bytes per distinct document — and
+    ``dropDuplicatesWithinWatermark`` expires state once the event-time
+    watermark passes, so state stays bounded on an unbounded crawl (the
+    classic recrawl/mirror-burst dedup shape: duplicates arrive close
+    together in event time; cross-horizon dedup belongs to the batch
+    pipeline, dedup.exact_duplicates)."""
+    pages = read_pages_stream(spark, input_path)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    keyed = (
+        pages.withColumn("content_md5", F.md5(F.col("html")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+    writer = (
+        keyed.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ingest_metrics_stream(
     spark: SparkSession,
     input_path: str,

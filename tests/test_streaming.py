@@ -86,3 +86,26 @@ def test_ingest_metrics_stream_watermark(spark, tmp_path):
     assert {"window_start", "window_end", "lang", "pages", "payload_bytes"} <= set(m.columns)
     assert m.count() > 0
     assert m.agg(F.sum("pages")).collect()[0][0] > 0
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup keeps ONE row per payload content: a mirror
+    burst (same payloads under different urls, close event times) collapses;
+    distinct payloads all survive; restart-with-checkpoint does not re-emit."""
+    from tesseract_wasm_spark.streaming import dedup_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    pages = fixtures_df(spark, n_corpus_pages=4)
+    mirror = pages.withColumn("url", F.concat(F.col("url"), F.lit("?mirror=1")))
+    pages.unionByName(mirror).write.mode("append").parquet(in_dir)
+
+    q = dedup_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    res = spark.read.parquet(out_dir)
+    n_distinct_payloads = pages.select(F.md5("html")).distinct().count()
+    assert res.count() == n_distinct_payloads
+    assert res.select("content_md5").distinct().count() == n_distinct_payloads
+    # restart over the same checkpoint: nothing new to emit
+    q2 = dedup_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_distinct_payloads
