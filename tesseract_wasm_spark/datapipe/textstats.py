@@ -228,3 +228,68 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm.cast("binary")).alias("fingerprint"),
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+#: regexes are RE2-safe AND java.util.regex-safe (no lookaround, no
+#: backreferences) so Spark and the DuckDB oracle agree byte-for-byte
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def redact_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction stage of a training-data pipeline:
+    emails, IPv4s and phone-shaped runs become typed placeholders. Order
+    matters and is part of the contract (mirrored in the SQL twin): emails
+    first (their digits must not feed the phone pattern), then IPs (dotted
+    quads are phone-shaped), then phones; each count is taken on the text
+    the previous stage produced. Pure single-pass expressions — at 100 TB
+    this is a map over the scan with full column pruning."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def contamination_flags(docs: DataFrame, benchmark_doc_ids: list[int],
+                        *, n: int = 5) -> DataFrame:
+    """Test-set decontamination: flag every document sharing an n-gram with
+    the benchmark set. Scale shape: the benchmark's distinct shingles are a
+    broadcast build side (benchmarks are small by definition); the corpus
+    streams through one exploded equi-join — no quadratic stage, no corpus
+    shuffle besides the per-doc hit count."""
+    from tesseract_wasm_spark.datapipe.dedup import _word_ngrams  # noqa: PLC0415
+
+    sh = _word_ngrams(F.col("text"), n)
+    bench = (
+        docs.filter(F.col("doc_id").isin(*benchmark_doc_ids))
+        .select(F.explode(sh).alias("g"))
+        .distinct()
+    )
+    hits = (
+        docs.select("doc_id", F.explode(sh).alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -486,6 +486,94 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 """
 
 
+def text_redact_pii(spark, sf_dir):
+    """PII redaction over deterministically PII-injected pages (the corpus
+    itself is synthetic word salad, so the query plants one email, one IPv4
+    and one phone per document from doc_id — non-vacuous by construction).
+    Dual derivation: the oracle builds the same text and runs the same
+    ordered redaction (emails, then IPs, then phones)."""
+    from tesseract_wasm_spark.datapipe.textstats import redact_pii  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    return redact_pii(docs.select("doc_id", pii.alias("text")))
+
+
+def _sql_redact_pii() -> str:
+    from tesseract_wasm_spark.datapipe.textstats import (  # noqa: PLC0415
+        EMAIL_RE, IPV4_RE, PHONE_RE,
+    )
+
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, t0, t1, regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(coalesce(len(regexp_extract_all(t0, '{EMAIL_RE}')), 0) AS INT) AS n_emails,
+       CAST(coalesce(len(regexp_extract_all(t1, '{IPV4_RE}')), 0) AS INT) AS n_ips,
+       CAST(coalesce(len(regexp_extract_all(t2, '{PHONE_RE}')), 0) AS INT) AS n_phones
+FROM s2
+"""
+
+
+SQL_TEXT_REDACT = _sql_redact_pii()
+
+
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every document sharing a 5-gram with
+    the 'benchmark' documents (ids 0 and 100 stand in for a held-out eval
+    set). The benchmark shingle set broadcasts; the corpus streams through
+    one exploded equi-join. The oracle re-derives shingles, benchmark, and
+    intersection counts independently in DuckDB."""
+    from tesseract_wasm_spark.datapipe.textstats import contamination_flags  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_flags(docs, [0, 100], n=5)
+
+
+SQL_TEXT_DECONTAMINATE = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]))
+              ELSE [array_to_string(toks, ' ')]
+         END AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+),
+bench AS (
+  SELECT list_distinct(flatten(list(shingles))) AS bs FROM sh WHERE doc_id IN (0, 100)
+)
+SELECT doc_id,
+       CAST(len(list_intersect(shingles, bs)) AS INT) AS n_hits,
+       len(list_intersect(shingles, bs)) > 0 AS contaminated
+FROM sh CROSS JOIN bench
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     from tesseract_wasm_spark.datapipe.dedup import minhash_near_duplicates  # noqa: PLC0415
 
@@ -1396,6 +1484,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sample_domain_cap": (sample_domain_cap, SQL_SAMPLE_DOMAIN_CAP),
     "sample_hash": (sample_hash, SQL_SAMPLE_HASH),
+    "text_redact_pii": (text_redact_pii, SQL_TEXT_REDACT),
+    "text_decontaminate": (text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding": (dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_topk": (ann_topk, SQL_ANN_TOPK),

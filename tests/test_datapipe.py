@@ -437,3 +437,35 @@ def test_rolling_fingerprint(spark):
     for did, txt in [(10, "prefix AAAA common-core-text BBBB"),
                      (11, "totally different head AAAA common-core-text tail")]:
         assert w[did] == ref_win(txt, 8), did
+
+
+def test_redact_pii(spark):
+    out = textstats.redact_pii(spark.createDataFrame(
+        [(1, "mail me at jo.smith+x@corp.example.org or call +1 (555) 123-4567, "
+             "server 192.168.10.12 stays internal"),
+         (2, "no pii here at all")],
+        "doc_id long, text string",
+    )).collect()
+    r = {row["doc_id"]: row for row in out}
+    assert "<EMAIL>" in r[1]["clean_text"] and "<PHONE>" in r[1]["clean_text"]
+    assert "<IP>" in r[1]["clean_text"]
+    assert "jo.smith" not in r[1]["clean_text"] and "192.168" not in r[1]["clean_text"]
+    assert (r[1]["n_emails"], r[1]["n_ips"], r[1]["n_phones"]) == (1, 1, 1)
+    assert r[2]["clean_text"] == "no pii here at all"
+    assert (r[2]["n_emails"], r[2]["n_ips"], r[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_contamination_flags(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),          # benchmark doc
+        (1, "unrelated words entirely different content here"),
+        (2, "prefix alpha beta gamma delta epsilon suffix"),  # shares a 5-gram
+        (3, "alpha beta gamma different tail words"),         # only a 3-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in
+           textstats.contamination_flags(df, [0], n=5).collect()}
+    assert got[0][1] is True          # the benchmark doc flags itself
+    assert got[1] == (0, False)
+    assert got[2][0] >= 1 and got[2][1] is True
+    assert got[3] == (0, False)       # sub-n overlap does not flag
