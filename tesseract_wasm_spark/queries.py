@@ -1383,11 +1383,39 @@ FROM cand JOIN embeddings a ON a.vec_id = va JOIN embeddings b ON b.vec_id = vb
 WHERE {_COS} >= 0.2
 """
 
-# ann_ivf oracle: cell assignments + probe lists are snapshot; scoring and
-# ranking re-derive in SQL from the embeddings table.
+# ann_ivf oracle: FULLY derived — the deterministic centroids are the 16
+# lowest-vec_id vectors, so centroid selection, nearest-centroid assignment
+# (argmax cosine, numpy's first-max tie-break = ORDER BY cell_id), probe
+# lists (top-nprobe centroid cosines, stable argsort = cell_id tie-break),
+# scoring and ranking all re-derive in SQL from the embeddings table alone.
+_SQL_IVF_COS = (
+    "(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) + 1e-12)"
+    " / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) + 1e-12))"
+)
+
 SQL_ANN_IVF = f"""
-WITH cells AS (SELECT * FROM read_parquet('{_golden('ivf_cells_sf001')}')),
-probes AS (SELECT * FROM read_parquet('{_golden('ivf_probes_sf001')}')),
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cells AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_IVF_COS} DESC, c.cell_id) AS _r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE _r = 1
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT e.vec_id AS query_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_IVF_COS} DESC, c.cell_id) AS _r
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+  ) WHERE _r <= 4
+),
 scored AS (
   SELECT p.query_id, ct.vec_id AS neighbor_id,
          round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))

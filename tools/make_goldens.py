@@ -1,7 +1,7 @@
 """Regenerate the committed golden-parquet oracles under tests/golden/oracle/.
 
 The OCR-surface driver entries (queries.py ocr_*) and the hash-defined
-datapipe entries (dedup_simhash, sim_srp_pairs, ann_ivf) are
+datapipe entries (dedup_simhash, sim_srp_pairs) are
 not SQL-expressible from the raw tables, so their DuckDB oracles read these
 committed snapshots (and, where the entry is a derivation, re-derive it in
 SQL — see queries.py for which side does real work).
@@ -104,27 +104,13 @@ def main() -> None:
     from tesseract_wasm_spark.datapipe.dedup import simhash_signatures
     write_golden(simhash_signatures(docs), "simhash_signatures_sf001")
 
-    from tesseract_wasm_spark.datapipe.similarity import (
-        assign_ivf_cells,
-        deterministic_centroids,
-        srp_signatures,
-    )
-    # parameters MUST mirror the driver entries (queries.sim_srp_pairs /
-    # queries.ann_ivf): n_bits=10 seed=9; n_cells=16 nprobe=4, queries 0..7
+    from tesseract_wasm_spark.datapipe.similarity import srp_signatures
+    # parameters MUST mirror the driver entry queries.sim_srp_pairs: n_bits=10 seed=9
     write_golden(srp_signatures(emb, n_bits=10, seed=9), "srp_buckets_sf001")
 
-    import numpy as np
-    cents = deterministic_centroids(emb, 16)
-    write_golden(assign_ivf_cells(emb, cents), "ivf_cells_sf001")
-    cent_norm = np.linalg.norm(cents, axis=1) + 1e-12
-    probe_rows = []
-    for r in emb.filter(emb.vec_id.isin(Q.ANN_QUERY_IDS)).collect():
-        v = np.array(list(r["embedding"]), dtype=np.float64)
-        sims = (cents @ v) / (np.linalg.norm(v) + 1e-12) / cent_norm
-        for c in np.argsort(-sims)[:4]:
-            probe_rows.append((int(r["vec_id"]), int(c)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell_id int")
-    write_golden(probes, "ivf_probes_sf001")
+    # (ann_ivf needs no goldens: deterministic centroids are the 16
+    #  lowest-vec_id vectors, so the oracle derives cells/probes/scores
+    #  entirely from the embeddings table)
 
     # (text_rolling_fp needs no golden: the oracle re-derives the polynomial
     #  hash itself with a list_reduce Horner fold in SQL)
