@@ -41,13 +41,41 @@ TJ_SPACE_KERN = -180.0
 #: documented limitation: a literal ']' inside a TJ-array string element ends
 #: the array match early (RE2 has no recursion); emit such text via Tj.
 
+#: PDF string escapes (PDF 32000-1 §7.3.4.2): \ddd octal (1-3 digits),
+#: \n \r \t \b \f control shorthands, \( \) \\ literals, backslash-newline =
+#: line continuation (dropped), backslash before anything else = ignored
+#: backslash. One regex tokenizes the escape in a single left-to-right pass
+#: (chained replaces mis-handle sequences like '\\\\(').
+_PDF_ESC = r"(?s)\\([0-7]{1,3}|.)"
+
+
+def _esc_char(e: Column) -> Column:
+    """One captured escape body -> its character (shared semantics with the
+    byte path and the DuckDB twin; octal is mod 256, codepoints U+00NN —
+    latin-1, matching the byte path's decode)."""
+    oct_val = F.conv(e, 8, 10).cast("int") % 256
+    return (
+        F.when(e.rlike("^[0-7]{1,3}$"), F.char(oct_val))
+        .when(e == "n", F.lit("\n"))
+        .when(e == "r", F.lit("\r"))
+        .when(e == "t", F.lit("\t"))
+        .when(e == "b", F.lit("\b"))
+        .when(e == "f", F.lit("\f"))
+        .when(e == "\n", F.lit(""))  # line continuation
+        .otherwise(e)  # \( \) \\ and 'ignore the backslash' for the rest
+    )
+
 
 def _unescape(s: Column) -> Column:
-    return F.replace(
-        F.replace(F.replace(s, F.lit(r"\("), F.lit("(")), F.lit(r"\)"), F.lit(")")),
-        F.lit("\\\\"),
-        F.lit("\\"),
+    """Split-and-rebuild single-pass unescape (same machinery as webtext's
+    numeric-entity decode; split keeps trailing empties in both engines)."""
+    parts = F.split(s, _PDF_ESC)
+    ents = F.regexp_extract_all(s, F.lit(_PDF_ESC), 1)
+    rebuilt = F.zip_with(
+        F.slice(parts, 1, F.size(ents)), ents,
+        lambda p, e: F.concat(p, _esc_char(e)),
     )
+    return F.concat(F.array_join(rebuilt, ""), F.element_at(parts, -1))
 
 
 def _hex_text(e: Column) -> Column:
@@ -60,7 +88,8 @@ def _elem_text(e: Column) -> Column:
     non-string, non-hex elements match the numeric alternative of
     _TJ_ELEM by construction)."""
     return (
-        F.when(F.substring(e, 1, 1) == "(", _unescape(F.regexp_extract(e, _STR, 1)))
+        F.when(F.substring(e, 1, 1) == "(",
+               _unescape(F.regexp_extract(e, "(?s)" + _STR, 1)))
         .when(F.substring(e, 1, 1) == "<", _hex_text(e))
         .otherwise(
             F.when(e.cast("double") <= F.lit(TJ_SPACE_KERN), F.lit(" ")).otherwise(F.lit(""))
@@ -75,7 +104,7 @@ def _op_text(op: Column) -> Column:
     return (
         F.when(F.substring(op, 1, 1) == "[", tj_text)
         .when(F.substring(op, 1, 1) == "<", _hex_text(op))
-        .otherwise(_unescape(F.regexp_extract(op, _STR, 1)))
+        .otherwise(_unescape(F.regexp_extract(op, "(?s)" + _STR, 1)))
     )
 
 
@@ -177,9 +206,19 @@ _SHOW_OP_B = _re.compile(_SHOW_OP.encode("ascii"))
 _TJ_ELEM_B = _re.compile(_TJ_ELEM.encode("ascii"), _re.S)
 
 
+_PDF_ESC_B = _re.compile(rb"\\([0-7]{1,3}|.)", _re.S)
+_ESC_SHORT = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
+              b"f": b"\x0c", b"\n": b""}
+
+
 def _unescape_b(s: bytes) -> str:
-    txt = s.decode("latin-1")
-    return txt.replace(r"\(", "(").replace(r"\)", ")").replace("\\\\", "\\")
+    def sub(m: "_re.Match[bytes]") -> bytes:
+        e = m.group(1)
+        if e and all(c in b"01234567" for c in e) and len(e) <= 3:
+            return bytes([int(e, 8) % 256])
+        return _ESC_SHORT.get(e, e)
+
+    return _PDF_ESC_B.sub(sub, s).decode("latin-1")
 
 
 def _op_text_bytes(op: bytes) -> str:

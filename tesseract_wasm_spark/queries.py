@@ -937,6 +937,7 @@ def pdf_text(spark, sf_dir):
         F.lit(
             ") Tj 0 -14 Td\n(appendix \\(generated\\)) Tj\n"
             "[(ker) -120 (ned) -240 (array)] TJ 0 -14 Td\n"
+            "(\\110\\145llo\\011octal li\\\nne) Tj\n"
             "<6865782072756E> Tj\nET\nendstream\nendobj\n%%EOF"
         ),
     )
@@ -948,11 +949,38 @@ def _sql_pdf_runs_over(col_sql: str) -> str:
     forms) from a raw pdf-string expression — the twin of
     pdftext.pdf_text_expr, regexes interpolated from the extractor itself."""
     from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
-        _BT_ET, _SHOW_OP, _STR, _TJ_ELEM, TJ_SPACE_KERN,
+        _BT_ET, _PDF_ESC, _SHOW_OP, _STR, _TJ_ELEM, TJ_SPACE_KERN,
     )
 
-    unesc = ("replace(replace(replace({0}, chr(92) || '(', '('), "
-             "chr(92) || ')', ')'), chr(92) || chr(92), chr(92))")
+    # one escape token -> char: octal (Horner fold, mod 256), control
+    # shorthands, line continuation dropped, else the char itself — the
+    # exact CASE order of pdftext._esc_char
+    esc_char = (
+        "CASE WHEN regexp_matches({e}, '^[0-7]{{1,3}}$') "
+        "THEN chr(list_reduce(list_prepend(0, list_transform("
+        "string_split({e}, ''), d -> CAST(d AS INT))), (a, d) -> a * 8 + d) % 256) "
+        "WHEN {e} = 'n' THEN chr(10) WHEN {e} = 'r' THEN chr(13) "
+        "WHEN {e} = 't' THEN chr(9) WHEN {e} = 'b' THEN chr(8) "
+        "WHEN {e} = 'f' THEN chr(12) WHEN {e} = chr(10) THEN '' "
+        "ELSE {e} END"
+    )
+
+    def unesc_fmt(src: str) -> str:
+        ents = f"coalesce(regexp_extract_all({src}, '{_PDF_ESC}', 1), [])"
+        return (
+            f"coalesce(array_to_string(list_transform(list_zip("
+            f"list_slice(string_split_regex({src}, '{_PDF_ESC}'), 1, len({ents})), "
+            f"{ents}), "
+            f"z -> z[1] || {esc_char.format(e='z[2]')}), ''), '') "
+            f"|| string_split_regex({src}, '{_PDF_ESC}')[-1]"
+        )
+
+    class _U:
+        @staticmethod
+        def format(src: str) -> str:
+            return unesc_fmt(src)
+
+    unesc = _U()
     hexdec = "decode(unhex(regexp_replace({0}, '[^0-9A-Fa-f]', '', 'g')))"
     ops = (
         f"flatten(list_transform(coalesce(regexp_extract_all({col_sql}, '{_BT_ET}', 1), []), "
@@ -962,12 +990,12 @@ def _sql_pdf_runs_over(col_sql: str) -> str:
   CASE
     WHEN op LIKE '[%' THEN array_to_string(list_transform(
         regexp_extract_all(op, '{_TJ_ELEM}', 0), e ->
-        CASE WHEN e LIKE '(%' THEN {unesc.format("regexp_extract(e, '" + _STR + "', 1)")}
+        CASE WHEN e LIKE '(%' THEN {unesc.format("regexp_extract(e, '(?s)" + _STR + "', 1)")}
              WHEN e LIKE '<%' THEN {hexdec.format("e")}
              WHEN TRY_CAST(e AS DOUBLE) <= {TJ_SPACE_KERN} THEN ' '
              ELSE '' END), '')
     WHEN op LIKE '<%' THEN {hexdec.format("op")}
-    ELSE {unesc.format("regexp_extract(op, '" + _STR + "', 1)")}
+    ELSE {unesc.format("regexp_extract(op, '(?s)" + _STR + "', 1)")}
   END), chr(10)), '')"""
 
 
@@ -982,6 +1010,8 @@ WITH pages AS (
     || ') Tj 0 -14 Td' || chr(10) || '(appendix ' || chr(92) || '(generated'
     || chr(92) || ')) Tj' || chr(10)
     || '[(ker) -120 (ned) -240 (array)] TJ 0 -14 Td' || chr(10)
+    || '(' || chr(92) || '110' || chr(92) || '145llo' || chr(92) || '011octal li'
+    || chr(92) || chr(10) || 'ne) Tj' || chr(10)
     || '<6865782072756E> Tj' || chr(10) || 'ET' || chr(10)
     || 'endstream' || chr(10) || 'endobj' || chr(10) || '%%EOF' AS p
   FROM documents

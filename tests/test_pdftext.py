@@ -98,6 +98,36 @@ def test_tj_array_and_hex_strings(spark):
     assert pdf_text(df).collect()[0]["text_out"] == expected
 
 
+def test_octal_and_control_escapes(spark):
+    """PDF string escapes beyond \\( \\) \\\\: octal \\ddd (mod 256), control
+    shorthands \\n \\r \\t \\b \\f, backslash-newline line continuation, and
+    'ignore the backslash' for anything else — identical through the
+    expression path and the byte path."""
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    body = (
+        b"%PDF-1.4\n<< /Length 0 >>\nstream\nBT\n"
+        b"(\\110\\145llo\\040world) Tj\n"      # octal: 'Hello world'
+        b"(tab\\there\\nnewline) Tj\n"          # \t and \n shorthands
+        b"(long li\\\nne joined) Tj\n"          # line continuation: dropped
+        b"(ignore \\q backslash \\8) Tj\n"      # unknown escape: char kept
+        b"(\\351tude \\267 dot) Tj\n"           # octal >= 0x80: latin-1 char
+        b"ET\nendstream\n%%EOF"
+    )
+    expected = (
+        "Hello world\n"
+        "tab\there\nnewline\n"
+        "long line joined\n"
+        "ignore q backslash 8\n"
+        "\xe9tude \xb7 dot"
+    )
+    assert extract_pdf_bytes(body) == expected
+    df = spark.createDataFrame(
+        [("u", body.decode("latin-1"))], "url string, pdf_text_raw string"
+    )
+    assert pdf_text(df).collect()[0]["text_out"] == expected
+
+
 def test_mixed_operators_round_trip(spark):
     """operators='mixed' cycles Tj / TJ-array / hex across lines; extraction
     recovers the exact text through expression AND byte paths, compressed
