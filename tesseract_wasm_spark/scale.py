@@ -21,11 +21,28 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from tesseract_wasm_spark.pipeline import extract_any, metrics_df, ocr_pages
 
 
-def write_table(df: DataFrame, path: str, *, fmt: str | None = None) -> None:
+#: url-hash bucket fan-out for the results table layout. Every result row
+#: carries url_bucket = pmod(xxhash64(url), URL_BUCKETS) and plain-parquet
+#: writes partition by it, so at 10^12 rows (a) the resume anti-join keys on
+#: (url_bucket, url) — with an Iceberg bucket-partitioned table the join
+#: becomes a storage-partitioned join and the completed side is never
+#: shuffled; (b) any single bucket is independently replayable/compactable.
+URL_BUCKETS = 256
+
+
+def url_bucket_col():
+    return F.pmod(F.xxhash64("url"), F.lit(URL_BUCKETS)).cast("int")
+
+
+def write_table(df: DataFrame, path: str, *, fmt: str | None = None,
+                partition_by: tuple[str, ...] = ()) -> None:
     """Iceberg-compatible writer abstraction (SURVEY.md §7): appends go to an
     Iceberg table when a catalog is configured (ACID appends — the real
     100 TB deployment), else to plain parquet with the same layout. ``fmt``
-    overrides autodetection ("iceberg" | "parquet")."""
+    overrides autodetection ("iceberg" | "parquet"). ``partition_by`` maps to
+    hive-style directory partitioning on parquet; an Iceberg deployment
+    declares the same columns in its partition spec at table creation, so
+    the append itself needs no per-write clause."""
     spark = df.sparkSession
     if fmt is None:
         has_iceberg = any(
@@ -36,7 +53,10 @@ def write_table(df: DataFrame, path: str, *, fmt: str | None = None) -> None:
     if fmt == "iceberg":
         df.writeTo(path).append()
     else:
-        df.write.mode("append").parquet(path)
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
 
 def completed_urls(spark: SparkSession, results_path: str, mode: str = "full") -> DataFrame | None:
@@ -48,7 +68,8 @@ def completed_urls(spark: SparkSession, results_path: str, mode: str = "full") -
         return None  # first run: nothing written yet
     if "mode" in df.columns:
         df = df.filter(F.col("mode") == mode)
-    return df.select("url")
+    cols = ["url_bucket", "url"] if "url_bucket" in df.columns else ["url"]
+    return df.select(*cols)
 
 
 def run_with_resume(
@@ -67,7 +88,19 @@ def run_with_resume(
     mode = "full" if with_text else "layout"
 
     done = completed_urls(spark, results_path, mode)
-    todo = pages if done is None else pages.join(done, "url", "left_anti")
+    if done is None:
+        todo = pages
+    elif "url_bucket" in done.columns:
+        # anti-join on (url_bucket, url): with a bucket-partitioned results
+        # table both sides arrive bucket-aligned (storage-partitioned join on
+        # Iceberg; partition-pruned scan on parquet)
+        todo = (
+            pages.withColumn("url_bucket", url_bucket_col())
+            .join(done, ["url_bucket", "url"], "left_anti")
+            .drop("url_bucket")
+        )
+    else:  # pre-bucketing layout (older results tables)
+        todo = pages.join(done, "url", "left_anti")
 
     res = ocr_pages(todo, with_text=with_text, num_partitions=num_partitions).persist()
     n = res.count()
@@ -76,8 +109,10 @@ def run_with_resume(
         return {"run_id": run_id, "pages": 0, "resumed": done is not None}
 
     write_table(
-        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit(mode)),
+        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit(mode))
+        .withColumn("url_bucket", url_bucket_col()),
         results_path,
+        partition_by=("url_bucket",),
     )
     write_table(metrics_df(res).withColumn("run_id", F.lit(run_id)), metrics_path)
     errors = res.filter(F.col("error").isNotNull()).count()
@@ -102,7 +137,16 @@ def run_extract_with_resume(
     path = f"{out_dir}/extracted"
     run_id = uuid.uuid4().hex
     done = completed_urls(spark, path, mode="extract")
-    todo = pages if done is None else pages.join(done, "url", "left_anti")
+    if done is None:
+        todo = pages
+    elif "url_bucket" in done.columns:
+        todo = (
+            pages.withColumn("url_bucket", url_bucket_col())
+            .join(done, ["url_bucket", "url"], "left_anti")
+            .drop("url_bucket")
+        )
+    else:
+        todo = pages.join(done, "url", "left_anti")
 
     res = extract_any(todo, num_partitions=num_partitions).persist()
     n = res.count()
@@ -110,8 +154,10 @@ def run_extract_with_resume(
         res.unpersist()
         return {"run_id": run_id, "pages": 0, "resumed": done is not None}
     write_table(
-        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit("extract")),
+        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit("extract"))
+        .withColumn("url_bucket", url_bucket_col()),
         path,
+        partition_by=("url_bucket",),
     )
     kinds = {r["kind"]: r["n"] for r in res.groupBy("kind").agg(F.count("*").alias("n")).collect()}
     errors = res.filter(F.col("error").isNotNull()).count()

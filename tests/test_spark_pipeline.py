@@ -235,3 +235,17 @@ def test_resume_is_mode_scoped(spark, pages, tmp_path):
     assert s3["pages"] == 0
     res = spark.read.parquet(f"{out}/results")
     assert set(r["mode"] for r in res.select("mode").distinct().collect()) == {"layout", "full"}
+
+
+def test_results_bucket_layout(spark, pages, tmp_path):
+    """Results land hive-partitioned by url_bucket = pmod(xxhash64(url), 256)
+    so the 10^12-row resume anti-join keys on (url_bucket, url) — the layout
+    an Iceberg bucket partition spec turns into a storage-partitioned join."""
+    import os
+
+    out = str(tmp_path / "bl")
+    run_with_resume(spark, pages.limit(6), out)
+    subdirs = [d for d in os.listdir(f"{out}/results") if d.startswith("url_bucket=")]
+    assert len(subdirs) >= 2  # 6 urls spread over >= 2 of 256 buckets
+    s2 = run_with_resume(spark, pages.limit(6), out)
+    assert s2["pages"] == 0 and s2["resumed"] is True
