@@ -432,6 +432,33 @@ def bucket_stats(banded: DataFrame, bucket_cols: list[str]) -> DataFrame:
     )
 
 
+def suggest_max_bucket(banded: DataFrame, bucket_cols: list[str], *,
+                       headroom: int = 16,
+                       ceiling: int = DEFAULT_MAX_BUCKET) -> int:
+    """Data-driven degenerate-bucket cap: ``headroom`` x the corpus' MEDIAN
+    bucket size, floored at 8 and never above ``ceiling`` (a pathological
+    corpus must not talk the guard out of existing). The median — not a high
+    quantile — anchors the suggestion because degenerate buckets can easily
+    be more than 1% of all buckets (one shared band value appears once per
+    band) while the median stays honest. The stats aggregate is one groupBy
+    over the skinny banded table; the driver collects only the DISTINCT
+    bucket sizes (bounded: a handful of values even at crawl scale)."""
+    rows = sorted(
+        (r["bucket_size"], r["n_buckets"])
+        for r in bucket_stats(banded, bucket_cols).collect()
+    )
+    total = sum(n for _, n in rows)
+    if total == 0:
+        return ceiling
+    acc, median = 0, rows[-1][0]
+    for size, n in rows:
+        acc += n
+        if acc >= 0.5 * total:
+            median = size
+            break
+    return max(8, min(ceiling, headroom * median))
+
+
 def minhash_banded(docs: DataFrame, *, num_perm: int = 64, bands: int = 16,
                    ngram: int = 3, seed: int = 1) -> DataFrame:
     """Fused signatures+banding: ONE vectorized Python pass emits the skinny

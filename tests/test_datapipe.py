@@ -469,3 +469,24 @@ def test_contamination_flags(spark):
     assert got[1] == (0, False)
     assert got[2][0] >= 1 and got[2][1] is True
     assert got[3] == (0, False)       # sub-n overlap does not flag
+
+
+def test_suggest_max_bucket(spark, docs):
+    """The data-driven cap sits well above the corpus' honest bucket sizes
+    (nothing dropped on normal data) but clamps a planted degenerate bucket,
+    and never exceeds the static ceiling."""
+    banded = dedup.minhash_banded(docs)
+    cap = dedup.suggest_max_bucket(banded, ["band_id", "bucket"])
+    max_honest = (banded.groupBy("band_id", "bucket").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert cap >= max_honest            # normal corpus: no drops
+    assert cap <= dedup.DEFAULT_MAX_BUCKET
+    # planted degenerate band: many empty docs -> one giant bucket; p99 of
+    # bucket sizes stays honest, so the suggestion clamps the degenerate one
+    empties = spark.createDataFrame(
+        [(1000 + i, "", "planted") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    banded2 = dedup.minhash_banded(docs.unionByName(empties))
+    cap2 = dedup.suggest_max_bucket(banded2, ["band_id", "bucket"])
+    assert cap2 < 200  # the 200-doc degenerate bucket gets dropped by cap2
