@@ -148,3 +148,23 @@ def test_pdf_branch_is_pure_codegen(spark):
     df = pages.select(pdf_text_expr(F.col("html").cast("string")).alias("t"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pdf_octal_escape_property():
+    """Property: ANY latin-1 string (no NUL) round-trips through a content
+    stream that octal-escapes every byte — the general decoder contract, not
+    just the generator's escape subset."""
+    from hypothesis import given, settings, strategies as st
+
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+                   min_size=0, max_size=48))
+    def check(s: str) -> None:
+        payload = "".join(f"\\{ord(c):03o}" for c in s)
+        body = (b"%PDF-1.4\n<< /Length 0 >>\nstream\nBT\n("
+                + payload.encode("ascii") + b") Tj\nET\nendstream\n%%EOF")
+        assert extract_pdf_bytes(body) == s
+
+    check()
