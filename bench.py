@@ -38,6 +38,10 @@ HEADLINE_QUERIES = [
     "q_agg_mean", "q_rollup_line", "q_first_last", "q_concat_ws",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
     "text_quality", "text_langid", "ann_topk",
+    # round-3 operators (cheap single-pass/window shapes; the quadratic
+    # dedup_ngram baseline stays out of the budget deliberately)
+    "html_quality_blocks", "text_redact_pii", "text_decontaminate",
+    "sample_domain_cap",
 ]
 
 
