@@ -69,7 +69,9 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
     cliques); ``max_iters`` bounds pathological chains. The convergence
     check is one count per iteration (bounded driver work, no collect of
     rows). Returns (doc_id, cluster_id, is_keeper) for EVERY doc
-    (singletons are their own cluster)."""
+    (singletons are their own cluster). The returned frame is persisted —
+    already materialized by the final convergence check; callers that are
+    done with it may .unpersist()."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
