@@ -199,7 +199,16 @@ def make_simple_pdf(lines: list[str], *, compress: bool = False,
 
 import re as _re  # noqa: E402
 
-_STREAM_RE = _re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", _re.S)
+#: tempered dict match ((?!<<) keeps the head to the NEAREST dict before
+#: 'stream', not a greedy span across earlier objects); the body match is a
+#: fallback only — binary stream data is sliced by /Length when present,
+#: because a compressed stream whose last byte happens to be 0x0D would lose
+#: it to the \r?-tolerant terminator (a real 1-in-256 truncation, found by
+#: the mixed-corpus soak)
+_STREAM_RE = _re.compile(
+    rb"<<((?:(?!<<).)*?)>>\s*stream\r?\n(.*?)\r?\nendstream", _re.S
+)
+_LENGTH_RE = _re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _BT_ET_B = _re.compile(rb"(?s)BT(.*?)ET")
 _STR_B = _re.compile(_STR.encode("ascii"), _re.S)
 _SHOW_OP_B = _re.compile(_SHOW_OP.encode("ascii"))
@@ -252,6 +261,13 @@ def extract_pdf_bytes(raw: bytes) -> str:
     runs: list[str] = []
     for m in _STREAM_RE.finditer(raw):
         head, body = m.group(1), m.group(2)
+        ln = _LENGTH_RE.search(head)
+        if ln is not None:  # exact byte count beats EOL-sniffing the end —
+            # but only when it actually lands on the endstream keyword
+            # (a wrong/placeholder /Length falls back to the regex body)
+            end = m.start(2) + int(ln.group(1))
+            if raw[end : end + 12].lstrip(b"\r\n").startswith(b"endstream"):
+                body = raw[m.start(2) : end]
         if b"/FlateDecode" in head:
             try:
                 body = zlib.decompress(body)

@@ -291,3 +291,52 @@ def corpus_df(spark, n_pages: int, seed: int = 7, partitions: int | None = None)
             yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return sdf.mapInPandas(gen, schema=PAGES_DDL)
+
+
+def mixed_corpus_df(spark, n_pages: int, seed: int = 11, partitions: int | None = None):
+    """Volume-scale MIXED corpus for soaking pipeline.extract_any: every
+    fourth payload is HTML (article page), every fourth a PDF (alternating
+    FlateDecode compression and mixed show operators), the rest DRF page
+    images — built distributed like corpus_df (specs parallelized,
+    payloads rasterized/serialized on executors)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    specs = [(i, seed) for i in range(n_pages)]
+    sdf = spark.createDataFrame(specs, "page_id int, seed int")
+    if partitions:
+        sdf = sdf.repartition(partitions)
+
+    def gen(iterator):
+        from tesseract_wasm_spark.datapipe.pdftext import make_simple_pdf  # noqa: PLC0415
+
+        for pdf in iterator:
+            out = []
+            for pid, sd in zip(pdf["page_id"], pdf["seed"]):
+                pid, sd = int(pid), int(sd)
+                rng = np.random.default_rng((sd << 32) | pid)
+                kind = pid % 4
+                if kind == 2:  # html article
+                    paras = [" ".join(_seeded_lines(rng, 1)) for _ in range(3)]
+                    payload, truth = article_html(paras), "\n".join(paras)
+                elif kind == 3:  # pdf
+                    lines = _seeded_lines(rng, int(rng.integers(3, 7)))
+                    payload = make_simple_pdf(
+                        lines, compress=(pid % 8 == 3),
+                        operators="mixed" if pid % 3 == 0 else "tj",
+                    )
+                    truth = "\n".join(lines)
+                else:  # DRF page image
+                    lines = _seeded_lines(rng, int(rng.integers(4, 14)))
+                    payload, truth = render_page_drf(lines), expected_text(lines)
+                out.append(
+                    {
+                        "url": f"https://mixed.test/page/{pid:08d}",
+                        "warc_ts": BASE_TS + dt.timedelta(seconds=pid),
+                        "html": payload,
+                        "text": truth,
+                        "lang": "eng",
+                    }
+                )
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return sdf.mapInPandas(gen, schema=PAGES_DDL)

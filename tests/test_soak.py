@@ -35,3 +35,31 @@ def test_soak_byte_identity(spark):
     )
     assert (agg["n"], agg["ok"], agg["errors"]) == (n, n, 0)
     pages.unpersist()
+
+
+@pytest.mark.skipif(not os.environ.get("SPARK_GRAFT_SOAK"), reason="set SPARK_GRAFT_SOAK=1")
+def test_soak_mixed_extraction(spark):
+    """Volume soak for the fused extract_any path: a mixed corpus (50% DRF
+    images, 25% HTML articles, 25% PDFs incl. FlateDecode and mixed show
+    operators) must come back byte-identical to ground truth for EVERY url,
+    with zero error rows."""
+    from tesseract_wasm_spark.fixtures import mixed_corpus_df
+    from tesseract_wasm_spark.pipeline import extract_any
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_SOAK_MIXED_PAGES", "8192"))
+    pages = mixed_corpus_df(spark, n_pages, seed=29, partitions=64).persist()
+    n = pages.count()
+    out = extract_any(pages)
+    agg = (
+        pages.select("url", "text")
+        .join(out, "url")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("text_out") == F.col("text"), 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+            F.count_distinct("kind").alias("kinds"),
+        )
+        .collect()[0]
+    )
+    assert (agg["n"], agg["ok"], agg["errors"], agg["kinds"]) == (n, n, 0, 3)
+    pages.unpersist()
