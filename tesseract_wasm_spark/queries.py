@@ -574,6 +574,90 @@ FROM sh CROSS JOIN bench
 """
 
 
+_DE_PARA = ("Zwölf Boxkämpfer jagen Viktor quer über den Deich und die "
+            "Prüfung ist nicht mit einem Blick zu erledigen")
+
+
+def html_block_langs(spark, sf_dir):
+    """Per-block language ID over extracted page blocks — the mixed-language
+    page a whole-document classifier averages away. The built page carries
+    the (English-marker) document text plus a fixed German paragraph; output
+    = ordered per-block language array. Dual derivation: the oracle builds
+    the same page, extracts the same blocks, and argmaxes the same marker
+    counts in SQL."""
+    from tesseract_wasm_spark.datapipe.textstats import LANG_MARKERS  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        _kept_blocks,
+        html_escape_expr,
+    )
+
+    def block_lang(txt):
+        lowered = F.lower(txt)
+        sc = {
+            lang: F.coalesce(
+                F.size(F.regexp_extract_all(lowered, F.lit(pat), 0)), F.lit(0)
+            )
+            for lang, pat in LANG_MARKERS.items()
+        }
+        best = F.greatest(*sc.values())
+        return (
+            F.when(best == 0, "und")
+            .when(sc["de"] == best, "de")
+            .when(sc["en"] == best, "en")
+            .when(sc["es"] == best, "es")
+            .otherwise("fr")
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>doc</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/de">DE</a></nav>'
+            "<article><p>"
+        ),
+        html_escape_expr(F.col("text")),
+        F.lit(f"</p><p>{_DE_PARA}</p></article>"
+              "<footer>2024 example corp</footer></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.transform(_kept_blocks(page), lambda b: block_lang(b["txt"]))
+        .alias("block_langs"),
+    )
+
+
+def _sql_html_block_langs() -> str:
+    from tesseract_wasm_spark.datapipe.textstats import LANG_MARKERS  # noqa: PLC0415
+
+    sc = {
+        lang: f"coalesce(len(regexp_extract_all(lower(b.txt), '{pat}')), 0)"
+        for lang, pat in LANG_MARKERS.items()
+    }
+    best = f"greatest({sc['en']}, {sc['de']}, {sc['fr']}, {sc['es']})"
+    lang_case = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN {sc['de']} = {best} THEN 'de' "
+        f"WHEN {sc['en']} = {best} THEN 'en' "
+        f"WHEN {sc['es']} = {best} THEN 'es' "
+        f"ELSE 'fr' END"
+    )
+    page = (
+        "'<html><head><title>doc</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/de">DE</a></nav>'
+        "<article><p>' || "
+        "replace(replace(regexp_replace(regexp_replace(regexp_replace(text, "
+        "'&', '&amp;', 'g'), "
+        "'<', '&lt;', 'g'), '>', '&gt;', 'g'), '\"', '&#34;'), chr(39), '&#x27;') || "
+        f"'</p><p>{_DE_PARA}</p></article>"
+        "<footer>2024 example corp</footer></body></html>'"
+    )
+    return f"""
+WITH pages AS (SELECT doc_id, {page} AS h FROM documents)
+SELECT doc_id, {_sql_main_text_over('h', project=lang_case)} AS block_langs
+FROM pages
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     from tesseract_wasm_spark.datapipe.dedup import minhash_near_duplicates  # noqa: PLC0415
 
@@ -795,12 +879,15 @@ _SQL_HTML_PAGE = (
 )
 
 
-def _sql_main_text_over(col_sql: str, min_quality: float | None = None) -> str:
+def _sql_main_text_over(col_sql: str, min_quality: float | None = None,
+                        project: str | None = None) -> str:
     """ONE DuckDB expression computing the extracted main text from a raw
     html-string expression — the twin of webtext.main_content_expr (and,
     with ``min_quality``, of quality_filtered_main_text). Every regex is
     interpolated from the Spark extractor's own constants, never re-typed,
-    so the two engines cannot drift."""
+    so the two engines cannot drift. ``project``: an expression over a kept
+    block ``b`` — when given, the result is the LIST of projections instead
+    of the newline-joined text (per-block analyses)."""
     from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
         _ANCHOR_TEXT, _BLOCK_SPLIT, _CONTAINER_TAGS, _NUM_ENT,
     )
@@ -855,11 +942,13 @@ def _sql_main_text_over(col_sql: str, min_quality: float | None = None) -> str:
         f"link_len := coalesce(length(array_to_string("
         f"regexp_extract_all(s, '{_ANCHOR_TEXT}', 1), '')), 0)))"
     )
-    return (
-        f"array_to_string(list_transform(list_filter({blocks}, "
-        f"b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt){qfilter}), "
-        f"b -> b.txt), chr(10))"
+    kept = (
+        f"list_filter({blocks}, "
+        f"b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt){qfilter})"
     )
+    if project is None:
+        return f"array_to_string(list_transform({kept}, b -> b.txt), chr(10))"
+    return f"list_transform({kept}, b -> {project})"
 
 
 def _sql_html_pipeline(page_sql: str, min_quality: float | None = None) -> str:
@@ -915,6 +1004,10 @@ _SQL_QUALITY_PAGE = (
 )
 
 SQL_HTML_QUALITY = _sql_html_pipeline(_SQL_QUALITY_PAGE, min_quality=0.2)
+
+# evaluated here (not at its definition site above) because the builder
+# needs _sql_main_text_over, defined in this section
+SQL_HTML_BLOCK_LANGS = _sql_html_block_langs()
 
 
 def pdf_text(spark, sf_dir):
@@ -1556,6 +1649,7 @@ REGISTRY: dict[str, tuple] = {
     "text_rolling_fp": (text_rolling_fp, SQL_TEXT_ROLLING_FP),
     "html_main_text": (html_main_text, SQL_HTML_MAIN_TEXT),
     "html_quality_blocks": (html_quality_blocks, SQL_HTML_QUALITY),
+    "html_block_langs": (html_block_langs, SQL_HTML_BLOCK_LANGS),
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
