@@ -205,3 +205,41 @@ def test_html_branch_is_pure_codegen(spark):
     df = pages.select(main_content_expr(F.col("html").cast("string")).alias("t"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extract_any_dispatch_fuzz(spark):
+    """Robustness fuzz for the fused dispatcher: payloads with every magic
+    prefix plus truncated/garbage bodies classify exactly like the reference
+    predicate and NEVER throw — a 10^12-row job must treat arbitrary bytes
+    as values (errors included), not exceptions."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    magics = [b"DRF1", b"%PDF-", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+              b"<html>", b"random text ", b"\xff\xd8", b"\x89PNG", b""]
+    payloads = []
+    for i in range(144):
+        m = magics[i % len(magics)]
+        body = bytes(rng.integers(0, 256, size=int(rng.integers(0, 48))).astype(np.uint8))
+        payloads.append((f"u{i:03d}", m + body))
+
+    def ref_kind(p: bytes) -> str:
+        if p[:4] == b"DRF1":
+            return "ocr"
+        if p[:5] == b"%PDF-":
+            return "pdf"
+        if p[:8] == b"\x89PNG\r\n\x1a\n" or p[:3] == b"\xff\xd8\xff":
+            return "image"
+        return "html"
+
+    df = spark.createDataFrame(
+        [(u, bytearray(p)) for u, p in payloads], "url string, html binary"
+    )
+    rows = {r["url"]: r for r in extract_any(df).collect()}  # must not throw
+    assert len(rows) == len(payloads)
+    for u, p in payloads:
+        assert rows[u]["kind"] == ref_kind(p), (u, p[:12])
+        if rows[u]["kind"] == "image":
+            assert rows[u]["error"].startswith("decoder not available")
+        elif rows[u]["kind"] == "ocr" and len(p) < 16:
+            assert rows[u]["error"] is not None  # truncated DRF: error value
