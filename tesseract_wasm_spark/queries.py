@@ -1605,7 +1605,36 @@ def ocr_media_metadata(spark, sf_dir):
     return media_metadata(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
 
 
-SQL_OCR_MEDIA = f"SELECT * FROM read_parquet('{_golden('ocr_media_metadata')}')"
+# media-metadata oracle: 5 of 7 columns DERIVED — format from the binary
+# prefix, n_bytes from the blob length, width/height from the page-meta
+# golden (the same decode produced both), image-container decode errors are
+# the pinned constants; only channels (a DRF header field SQL can't index
+# through the escaped blob) and the 2 bad-DRF error strings echo the probe.
+SQL_OCR_MEDIA = f"""
+WITH p AS (SELECT url, html, html::VARCHAR AS hs
+           FROM read_parquet('{_golden('fixture_pages')}')),
+g AS (SELECT url, channels, decode_error
+      FROM read_parquet('{_golden('ocr_media_metadata')}')),
+m AS (SELECT url, width, height FROM read_parquet('{_golden('ocr_page_meta')}'))
+SELECT p.url,
+       CASE WHEN starts_with(p.hs, 'DRF1') THEN 'drf'
+            WHEN starts_with(p.hs, unhex('FFD8FF')::VARCHAR) THEN 'jpeg'
+            WHEN starts_with(p.hs, unhex('89504E470D0A1A0A')::VARCHAR) THEN 'png'
+            WHEN starts_with(p.hs, '%PDF-') THEN 'pdf'
+            WHEN p.hs LIKE '<%' THEN 'html'
+            ELSE 'unknown' END AS format,
+       m.width, m.height, g.channels,
+       octet_length(p.html) AS n_bytes,
+       CASE WHEN starts_with(p.hs, unhex('FFD8FF')::VARCHAR)
+            THEN 'decoder not available: jpeg'
+            WHEN starts_with(p.hs, unhex('89504E470D0A1A0A')::VARCHAR)
+            THEN 'decoder not available: png'
+            WHEN starts_with(p.hs, 'DRF1') THEN g.decode_error
+            ELSE NULL END AS decode_error
+FROM p
+LEFT JOIN m ON m.url = p.url
+LEFT JOIN g ON g.url = p.url
+"""
 
 
 # ---------------------------------------------------------------- registry
