@@ -88,9 +88,12 @@ def run_with_resume(
     mode = "full" if with_text else "layout"
 
     done = completed_urls(spark, results_path, mode)
+    # a pre-bucketing results table keeps its legacy flat layout: appending
+    # partitioned files into an unpartitioned directory corrupts the table
+    legacy = done is not None and "url_bucket" not in done.columns
     if done is None:
         todo = pages
-    elif "url_bucket" in done.columns:
+    elif not legacy:
         # anti-join on (url_bucket, url): with a bucket-partitioned results
         # table both sides arrive bucket-aligned (storage-partitioned join on
         # Iceberg; partition-pruned scan on parquet)
@@ -108,12 +111,12 @@ def run_with_resume(
         res.unpersist()
         return {"run_id": run_id, "pages": 0, "resumed": done is not None}
 
-    write_table(
-        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit(mode))
-        .withColumn("url_bucket", url_bucket_col()),
-        results_path,
-        partition_by=("url_bucket",),
-    )
+    out = res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit(mode))
+    if legacy:
+        write_table(out, results_path)
+    else:
+        write_table(out.withColumn("url_bucket", url_bucket_col()),
+                    results_path, partition_by=("url_bucket",))
     write_table(metrics_df(res).withColumn("run_id", F.lit(run_id)), metrics_path)
     errors = res.filter(F.col("error").isNotNull()).count()
     res.unpersist()
@@ -137,9 +140,10 @@ def run_extract_with_resume(
     path = f"{out_dir}/extracted"
     run_id = uuid.uuid4().hex
     done = completed_urls(spark, path, mode="extract")
+    legacy = done is not None and "url_bucket" not in done.columns
     if done is None:
         todo = pages
-    elif "url_bucket" in done.columns:
+    elif not legacy:
         todo = (
             pages.withColumn("url_bucket", url_bucket_col())
             .join(done, ["url_bucket", "url"], "left_anti")
@@ -153,12 +157,12 @@ def run_extract_with_resume(
     if n == 0:
         res.unpersist()
         return {"run_id": run_id, "pages": 0, "resumed": done is not None}
-    write_table(
-        res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit("extract"))
-        .withColumn("url_bucket", url_bucket_col()),
-        path,
-        partition_by=("url_bucket",),
-    )
+    out = res.withColumn("run_id", F.lit(run_id)).withColumn("mode", F.lit("extract"))
+    if legacy:
+        write_table(out, path)
+    else:
+        write_table(out.withColumn("url_bucket", url_bucket_col()),
+                    path, partition_by=("url_bucket",))
     kinds = {r["kind"]: r["n"] for r in res.groupBy("kind").agg(F.count("*").alias("n")).collect()}
     errors = res.filter(F.col("error").isNotNull()).count()
     res.unpersist()

@@ -249,3 +249,21 @@ def test_results_bucket_layout(spark, pages, tmp_path):
     assert len(subdirs) >= 2  # 6 urls spread over >= 2 of 256 buckets
     s2 = run_with_resume(spark, pages.limit(6), out)
     assert s2["pages"] == 0 and s2["resumed"] is True
+
+
+def test_resume_pre_bucketing_fallback(spark, pages, tmp_path):
+    """A results table written BEFORE the bucketed layout (no url_bucket
+    column) must still resume correctly through the url-only anti-join."""
+    from tesseract_wasm_spark.pipeline import ocr_pages as _ocr
+
+    out = str(tmp_path / "old")
+    first = pages.limit(5)
+    # simulate the old layout: write results directly, unbucketed
+    res = _ocr(first)
+    (res.withColumn("run_id", F.lit("legacy")).withColumn("mode", F.lit("full"))
+        .write.mode("append").parquet(f"{out}/results"))
+    s = run_with_resume(spark, pages, out)
+    assert s["resumed"] is True
+    assert s["pages"] == pages.count() - 5
+    got = spark.read.parquet(f"{out}/results")
+    assert got.select("url").distinct().count() == pages.count()
