@@ -39,6 +39,9 @@ def main() -> None:
                     help="ocr: DRF pages through the OCR engine (default); "
                          "mixed: dispatch every payload kind "
                          "(DRF->OCR, PDF->pdftext, HTML->webtext)")
+    ap.add_argument("--recognizer", choices=("template", "lstm"), default="template",
+                    help="sequence recognizer: bitpacked template matcher "
+                         "(production fast path) or the LSTM+CTC v2 path")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under a real cluster master)")
@@ -59,6 +62,7 @@ def main() -> None:
             pages,
             args.output,
             with_text=not args.layout_only,
+            recognizer=args.recognizer,
             num_partitions=args.partitions,
         )
     print(json.dumps(summary), file=sys.stderr)

@@ -78,6 +78,7 @@ def run_with_resume(
     out_dir: str,
     *,
     with_text: bool = True,
+    recognizer: str = "template",
     num_partitions: int | None = None,
 ) -> dict:
     """Process all pages not yet present in ``{out_dir}/results``; append
@@ -105,7 +106,8 @@ def run_with_resume(
     else:  # pre-bucketing layout (older results tables)
         todo = pages.join(done, "url", "left_anti")
 
-    res = ocr_pages(todo, with_text=with_text, num_partitions=num_partitions).persist()
+    res = ocr_pages(todo, with_text=with_text, recognizer=recognizer,
+                    num_partitions=num_partitions).persist()
     n = res.count()
     if n == 0:
         res.unpersist()
