@@ -13,8 +13,12 @@ The relational entries (q_*) exercise exactly the operator set the reference's
 own tests/examples use to query OCR output (SURVEY.md §2.3 Q1-Q11, with
 file:line citations per entry). The datapipe entries (dedup_*, ann_*, text_*)
 are the training-data operators the brief adds. The ocr_* entries run the real
-extraction engine on the deterministic fixture corpus (not SQL-expressible ->
-rows-only checks; byte-identity is separately gated by pytest goldens).
+extraction engine on the deterministic fixture corpus; their oracles are
+genuine re-derivations wherever SQL can express one (hOCR re-rendered, the
+orientation tree re-run over raw scores, layout from word rects, extraction
+from raw payload blobs, lines/text rollups, LSTM == template) and committed
+input/output goldens only where it cannot. Byte-identity vs ground truth is
+additionally gated by pytest.
 """
 
 from __future__ import annotations
