@@ -54,7 +54,8 @@ def main() -> None:
     pages = spark.read.parquet(args.input)
     if args.mode == "mixed":
         summary = run_extract_with_resume(
-            spark, pages, args.output, num_partitions=args.partitions
+            spark, pages, args.output, recognizer=args.recognizer,
+            num_partitions=args.partitions,
         )
     else:
         summary = run_with_resume(

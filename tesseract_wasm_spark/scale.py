@@ -130,6 +130,7 @@ def run_extract_with_resume(
     pages: DataFrame,
     out_dir: str,
     *,
+    recognizer: str = "template",
     num_partitions: int | None = None,
 ) -> dict:
     """The MIXED-payload main-content pipeline (pipeline.extract_any: DRF ->
@@ -154,7 +155,8 @@ def run_extract_with_resume(
     else:
         todo = pages.join(done, "url", "left_anti")
 
-    res = extract_any(todo, num_partitions=num_partitions).persist()
+    res = extract_any(todo, recognizer=recognizer,
+                      num_partitions=num_partitions).persist()
     n = res.count()
     if n == 0:
         res.unpersist()
