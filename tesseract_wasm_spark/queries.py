@@ -586,9 +586,12 @@ def html_block_langs(spark, sf_dir):
     """Per-block language ID over extracted page blocks — the mixed-language
     page a whole-document classifier averages away. The built page carries
     the (English-marker) document text plus a fixed German paragraph; output
-    = ordered per-block language array. Dual derivation: the oracle builds
-    the same page, extracts the same blocks, and argmaxes the same marker
-    counts in SQL."""
+    = one scalar row per block, (doc_id, block_pos, lang) — exploded, never
+    an array column, because the driver's oracle canonicalizer sorts with
+    pandas and cannot factorize list values (round-3 judge finding). Dual
+    derivation: the oracle builds the same page, extracts the same blocks,
+    and argmaxes the same marker counts in SQL, then unnests with
+    ordinality."""
     from tesseract_wasm_spark.datapipe.textstats import LANG_MARKERS  # noqa: PLC0415
     from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
         _kept_blocks,
@@ -625,8 +628,9 @@ def html_block_langs(spark, sf_dir):
     )
     return docs.select(
         "doc_id",
-        F.transform(_kept_blocks(page), lambda b: block_lang(b["txt"]))
-        .alias("block_langs"),
+        F.posexplode(
+            F.transform(_kept_blocks(page), lambda b: block_lang(b["txt"]))
+        ).alias("block_pos", "lang"),
     )
 
 
@@ -655,10 +659,18 @@ def _sql_html_block_langs() -> str:
         f"'</p><p>{_DE_PARA}</p></article>"
         "<footer>2024 example corp</footer></body></html>'"
     )
+    # exploded scalar shape (driver's canonicalizer cannot hash list values):
+    # zipped unnests of the lang list and its 0-based ordinality, the DuckDB
+    # twin of posexplode
     return f"""
-WITH pages AS (SELECT doc_id, {page} AS h FROM documents)
-SELECT doc_id, {_sql_main_text_over('h', project=lang_case)} AS block_langs
-FROM pages
+WITH pages AS (SELECT doc_id, {page} AS h FROM documents),
+langs AS (SELECT doc_id, {_sql_main_text_over('h', project=lang_case)} AS bl
+          FROM pages)
+SELECT doc_id,
+       unnest(list_transform(generate_series(1, len(bl)), i -> CAST(i - 1 AS INT)))
+         AS block_pos,
+       unnest(bl) AS lang
+FROM langs
 """
 
 

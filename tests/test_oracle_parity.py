@@ -64,6 +64,26 @@ def _oracle_cases():
     return [name for name, (_, sql) in REGISTRY.items() if sql is not None]
 
 
+def test_no_complex_output_columns(spark):
+    """Driver-harness contract (round-3 judge finding): the driver's oracle
+    canonicalizer sorts query output with pandas, which cannot factorize
+    list/struct values — so EVERY queries() entry must emit only
+    scalar/sortable columns. Guard the whole registry, not just the one
+    entry that broke (html_block_langs, CORRECTNESS_r03)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tesseract_wasm_spark.queries import REGISTRY
+
+    offenders = []
+    for name, (fn, _) in REGISTRY.items():
+        sf_dir = SF_LOCKED_DIR if name in SF_LOCKED else SF_DIR
+        schema = fn(spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert offenders == []
+
+
 @pytest.mark.parametrize("name", _oracle_cases())
 def test_oracle_parity(spark, duck, duck_gate, name):
     from tesseract_wasm_spark.queries import REGISTRY
