@@ -79,7 +79,17 @@ def _unescape(s: Column) -> Column:
 
 
 def _hex_text(e: Column) -> Column:
-    return F.decode(F.unhex(F.regexp_replace(e, "[^0-9A-Fa-f]", "")), "UTF-8")
+    """Hex show-string -> text. PDF 32000-1 §7.3.4.3: an odd digit count
+    implies a trailing 0. Bytes decode as latin-1 — the SAME single-byte
+    semantics as literal strings (_unescape_b / _esc_char), so identical
+    bytes show identically regardless of operator form — unless a UTF-16BE
+    BOM (FEFF) leads, the other encoding real PDFs use for text strings."""
+    h = F.regexp_replace(e, "[^0-9A-Fa-f]", "")
+    h = F.when(F.length(h) % 2 == 1, F.concat(h, F.lit("0"))).otherwise(h)
+    raw = F.unhex(h)
+    return F.when(
+        F.upper(F.substring(h, 1, 4)) == "FEFF", F.decode(raw, "UTF-16")
+    ).otherwise(F.decode(raw, "ISO-8859-1"))
 
 
 def _elem_text(e: Column) -> Column:
@@ -208,7 +218,12 @@ import re as _re  # noqa: E402
 _STREAM_RE = _re.compile(
     rb"<<((?:(?!<<).)*?)>>\s*stream\r?\n(.*?)\r?\nendstream", _re.S
 )
-_LENGTH_RE = _re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+#: (?![\d\s]*R) — not the narrower (?!\s+\d+\s+R) — so an indirect-ref
+#: '/Length 15 0 R' cannot backtrack into matching '1' (digit-prefix
+#: backtracking satisfied the old lookahead); a direct length followed by
+#: another key ('/Length 44 /Filter') still matches because '/' breaks the
+#: class before any R
+_LENGTH_RE = _re.compile(rb"/Length\s+(\d+)(?![\d\s]*R)")
 _BT_ET_B = _re.compile(rb"(?s)BT(.*?)ET")
 _STR_B = _re.compile(_STR.encode("ascii"), _re.S)
 _SHOW_OP_B = _re.compile(_SHOW_OP.encode("ascii"))
@@ -230,9 +245,26 @@ def _unescape_b(s: bytes) -> str:
     return _PDF_ESC_B.sub(sub, s).decode("latin-1")
 
 
+def _hex_bytes_text(hexpart: bytes) -> str:
+    """Byte-path twin of _hex_text: strip whitespace, pad an odd digit count
+    with a trailing 0 (PDF §7.3.4.3), then decode latin-1 — matching literal
+    strings — or UTF-16BE when a FEFF BOM leads (decoded with 'replace' so a
+    truncated surrogate cannot raise; Java's String(bytes, charset) does the
+    same U+FFFD substitution on the expression path)."""
+    h = b"".join(hexpart.split())
+    if len(h) % 2:
+        h += b"0"
+    raw = bytes.fromhex(h.decode("ascii"))
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
 def _op_text_bytes(op: bytes) -> str:
     """One show operator (bytes) -> shown text; exact mirror of the
-    expression path's _op_text/_elem_text."""
+    expression path's _op_text/_elem_text. Never raises on a _SHOW_OP match:
+    every alternative's decode path is total (latin-1/replace decoding,
+    odd-hex padding)."""
     if op.startswith(b"["):
         parts: list[str] = []
         for e in _TJ_ELEM_B.finditer(op):
@@ -240,13 +272,12 @@ def _op_text_bytes(op: bytes) -> str:
             if tok.startswith(b"("):
                 parts.append(_unescape_b(_STR_B.match(tok).group(1)))
             elif tok.startswith(b"<"):
-                parts.append(bytes.fromhex(tok[1:-1].decode("ascii")).decode("utf-8"))
+                parts.append(_hex_bytes_text(tok[1:-1]))
             elif float(tok.decode("ascii")) <= TJ_SPACE_KERN:
                 parts.append(" ")
         return "".join(parts)
     if op.startswith(b"<"):
-        hexpart = op[: op.index(b">")][1:]
-        return bytes.fromhex(b"".join(hexpart.split()).decode("ascii")).decode("utf-8")
+        return _hex_bytes_text(op[: op.index(b">")][1:])
     return _unescape_b(_STR_B.match(op).group(1))
 
 
@@ -283,20 +314,31 @@ def pdf_pages_text(pages: DataFrame, *, payload_col: str = "html",
                    id_col: str = "url") -> DataFrame:
     """Distributed byte-level extraction over (url, pdf binary) rows —
     handles compressed AND uncompressed streams. One vectorized pandas pass
-    (per-row zlib inflate is C-speed; regex parse per document)."""
+    (per-row zlib inflate is C-speed; regex parse per document).
+
+    Errors are VALUES: a malformed payload yields (text_out NULL, error set)
+    — same contract as pipeline.extract_any — because one bad document must
+    never kill a 10^12-row job."""
     from collections.abc import Iterator  # noqa: PLC0415
 
     import pandas as pd  # noqa: PLC0415
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            texts: list[str | None] = []
+            errors: list[str | None] = []
+            for b in pdf[payload_col]:
+                try:
+                    texts.append(extract_pdf_bytes(bytes(b)))
+                    errors.append(None)
+                except Exception as exc:  # corrupt container: error-as-value
+                    texts.append(None)
+                    errors.append(str(exc))
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "text_out": [extract_pdf_bytes(bytes(b)) for b in pdf[payload_col]],
-                }
+                {id_col: pdf[id_col], "text_out": texts, "error": errors},
+                columns=[id_col, "text_out", "error"],
             )
 
     return pages.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} string, text_out string"
+        run, schema=f"{id_col} string, text_out string, error string"
     )

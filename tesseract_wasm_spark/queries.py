@@ -1090,7 +1090,25 @@ def _sql_pdf_runs_over(col_sql: str) -> str:
             return unesc_fmt(src)
 
     unesc = _U()
-    hexdec = "decode(unhex(regexp_replace({0}, '[^0-9A-Fa-f]', '', 'g')))"
+    # hex show-string twin of pdftext._hex_text: odd digit count pads a
+    # trailing 0 (PDF §7.3.4.3), bytes decode as latin-1 = chr(byte value)
+    # per hex pair (DuckDB has no latin-1 decode(); chr of the codepoint IS
+    # latin-1). The UTF-16-BOM branch is engine-side only (pytest-covered);
+    # fixture corpora are latin-1-range by construction.
+    def _hexdec(src: str) -> str:
+        h = f"regexp_replace({src}, '[^0-9A-Fa-f]', '', 'g')"
+        hp = f"(CASE WHEN len({h}) % 2 = 1 THEN {h} || '0' ELSE {h} END)"
+        return (
+            f"array_to_string(list_transform(generate_series(1, len({hp}) // 2), "
+            f"i -> chr(CAST('0x' || substr({hp}, 2*i - 1, 2) AS INT))), '')"
+        )
+
+    class _H:
+        @staticmethod
+        def format(src: str) -> str:
+            return _hexdec(src)
+
+    hexdec = _H()
     ops = (
         f"flatten(list_transform(coalesce(regexp_extract_all({col_sql}, '{_BT_ET}', 1), []), "
         f"b -> coalesce(regexp_extract_all(b, '{_SHOW_OP}', 0), [])))"

@@ -168,3 +168,62 @@ def test_pdf_octal_escape_property():
         assert extract_pdf_bytes(body) == s
 
     check()
+
+
+def test_hex_string_robustness(spark):
+    """Spec-legal hex shapes that used to raise (round-4 ADVICE): odd digit
+    count implies a trailing 0 (PDF 7.3.4.3), non-UTF-8 bytes decode as
+    latin-1 (same single-byte semantics as literal strings, so identical
+    bytes show identically through either operator form), and a FEFF BOM
+    switches to UTF-16BE -- through BOTH the expression and byte paths."""
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    body = (
+        b"%PDF-1.4\n<< /Length 0 >>\nstream\nBT\n"
+        b"<48692> Tj\n"                  # odd digits: 'Hi' + chr(0x20)
+        b"<E9747564E9> Tj\n"             # latin-1 bytes, invalid UTF-8
+        b"(\\351tud\\351) Tj\n"          # the same bytes as a literal string
+        b"<FEFF00480069> Tj\n"           # UTF-16BE with BOM: 'Hi'
+        b"[(x) -240 <E96D> (y)] TJ\n"    # hex element inside a TJ array
+        b"ET\nendstream\n%%EOF"
+    )
+    expected = "Hi \n\xe9tud\xe9\n\xe9tud\xe9\nHi\nx \xe9my"
+    assert extract_pdf_bytes(body) == expected
+    df = spark.createDataFrame(
+        [("u", body.decode("latin-1"))], "url string, pdf_text_raw string"
+    )
+    assert pdf_text(df).collect()[0]["text_out"] == expected
+
+
+def test_length_indirect_ref_not_matched():
+    """'/Length 15 0 R' (indirect ref) must not backtrack into reading
+    length=1 -- the stream body must come from the endstream scan, intact."""
+    import zlib
+
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    content = b"BT\n(indirect length) Tj\nET"
+    comp = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n<< /Length 15 0 R /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream\n%%EOF"
+    )
+    assert extract_pdf_bytes(body) == "indirect length"
+    direct = b"%PDF-1.4\n<< /Length 27 >>\nstream\nBT\n(direct length ok) Tj\nET\nendstream\n%%EOF"
+    assert extract_pdf_bytes(direct) == "direct length ok"
+
+
+def test_pdf_pages_text_error_as_value(spark):
+    """One malformed payload in a batch must not kill the job: it yields
+    (text_out NULL, error set) while the good rows extract normally."""
+    from tesseract_wasm_spark.datapipe.pdftext import pdf_pages_text
+
+    good = make_simple_pdf(["fine document"])
+    rows = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad", bytearray(b"%PDF-1.4 not a real pdf"))],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in pdf_pages_text(rows).collect()}
+    assert got["ok"]["text_out"] == "fine document" and got["ok"]["error"] is None
+    # no streams at all -> empty text, not an error (nothing to extract)
+    assert got["bad"]["text_out"] == "" and got["bad"]["error"] is None
