@@ -15,6 +15,9 @@ Scale shapes (the 100 TB view):
 
 from __future__ import annotations
 
+import itertools
+import logging
+
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,9 +69,13 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
     Scale shape: each iteration is one (id->label) hash join + a groupBy of
     (id, label) LONGS — the text never enters the loop — and the iteration
     count is the component diameter, 2-3 for real dup clusters (near-
-    cliques); ``max_iters`` bounds pathological chains. The convergence
-    check is one count per iteration (bounded driver work, no collect of
-    rows). Returns (doc_id, cluster_id, is_keeper) for EVERY doc
+    cliques); ``max_iters`` bounds pathological chains. If propagation is
+    still changing labels when the bound hits (a chain longer than
+    ``max_iters`` hops), one true cluster reports as several keepers — that
+    truncation is WARN-logged with the residual changed-count so callers can
+    rerun with a higher bound instead of silently over-keeping. The
+    convergence check is one count per iteration (bounded driver work, no
+    collect of rows). Returns (doc_id, cluster_id, is_keeper) for EVERY doc
     (singletons are their own cluster). The returned frame is persisted —
     already materialized by the final convergence check; callers that are
     done with it may .unpersist()."""
@@ -107,6 +114,13 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
         labels = new
         if changed == 0:
             break
+    else:
+        logging.getLogger(__name__).warning(
+            "duplicate_clusters: label propagation NOT converged after "
+            "%d iterations (%d labels still changing) — components with "
+            "diameter > max_iters are split into multiple keepers; rerun "
+            "with a higher max_iters", max_iters, changed,
+        )
     edges.unpersist()
     return labels.select(
         "doc_id", "cluster_id",
@@ -383,34 +397,75 @@ def _pairs_in_bucket(ids):
 DEFAULT_MAX_BUCKET = 512
 
 
+#: monotone suffix for the always-on named observation (observation names
+#: must be unique within one query; a pipeline may compose several
+#: bucket_pairs stages)
+_OBS_SEQ = itertools.count()
+
+
 def bucket_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str = "doc_id",
                  max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                 dropped=None) -> DataFrame:
+                 dropped=None, oversize: str = "drop") -> DataFrame:
     """(id, bucket...) rows -> distinct candidate pairs, via ONE groupBy:
     collect the (sorted) ids per bucket and expand pairs with array
     expressions. Compared to the classic bucket self-join this halves the
     shuffled data and avoids recomputing the (Python-stage) signature source
-    for each join side. Bucket-size skew is the standard LSH caveat:
-    ``max_bucket`` (default ``DEFAULT_MAX_BUCKET``) drops degenerate buckets
-    (a band value shared by a huge fraction of the corpus produces
-    near-useless quadratic candidates); at near-dup thresholds real buckets
-    are tiny. Pass a ``pyspark.sql.Observation`` as ``dropped`` to count
-    capped buckets without an extra job (metrics ride the same action)."""
+    for each join side.
+
+    Bucket-size skew is the standard LSH caveat: a band value shared by a
+    huge fraction of the corpus (mass-duplicated boilerplate) would expand
+    to O(B^2) pairs inside ONE task. ``max_bucket`` (default
+    ``DEFAULT_MAX_BUCKET``) bounds that, with two policies:
+
+    - ``oversize='drop'`` (default): oversized buckets contribute NO pairs —
+      maximum recall loss on exactly the highest-value dedup target, so the
+      drop is always observable (below).
+    - ``oversize='star'``: oversized buckets are SAMPLED linearly instead of
+      dropped — every id pairs with the bucket's min id (size-1 pairs, one
+      bounded task). After pair verification + ``duplicate_clusters`` this
+      preserves cluster MEMBERSHIP for genuine mass-dup buckets (the star
+      keeps the component connected) at the cost of the non-anchor pairwise
+      edges; a verification-failing anchor breaks the chain, so 'star' is a
+      recall heuristic for clustering, not an exact pair set.
+
+    Capped-bucket counts are ALWAYS emitted via a named observation
+    (``lsh_capped_buckets_N``, visible to QueryExecutionListener/the UI) so
+    the cap is never silent; additionally pass a ``pyspark.sql.Observation``
+    as ``dropped`` to read ``dropped_buckets``/``max_bucket_size`` driver-
+    side without an extra job (metrics ride the same action)."""
+    if oversize not in ("drop", "star"):
+        raise ValueError(f"oversize must be 'drop' or 'star', got {oversize!r}")
     grouped = banded.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_list(id_col)).alias("_ids")
     )
     grouped = grouped.filter(F.size("_ids") >= 2)
     if max_bucket is not None:
+        over = F.size("_ids") > max_bucket
+        grouped = grouped.observe(
+            f"lsh_capped_buckets_{next(_OBS_SEQ)}",
+            F.sum(over.cast("int")).alias("capped_buckets"),
+            F.max(F.size("_ids")).alias("max_bucket_size"),
+        )
         if dropped is not None:
             grouped = grouped.observe(
                 dropped,
-                F.sum(F.when(F.size("_ids") > max_bucket, 1).otherwise(0))
-                .alias("dropped_buckets"),
+                F.sum(over.cast("int")).alias("dropped_buckets"),
                 F.max(F.size("_ids")).alias("max_bucket_size"),
             )
-        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+        if oversize == "star":
+            anchor = F.element_at("_ids", 1)
+            star = F.transform(
+                F.slice("_ids", 2, F.size("_ids")),
+                lambda y: F.struct(anchor.alias("a"), y.alias("b")),
+            )
+            pairs_col = F.when(over, star).otherwise(_pairs_in_bucket(F.col("_ids")))
+        else:
+            grouped = grouped.filter(~over)
+            pairs_col = _pairs_in_bucket(F.col("_ids"))
+    else:
+        pairs_col = _pairs_in_bucket(F.col("_ids"))
     return (
-        grouped.select(F.explode(_pairs_in_bucket(F.col("_ids"))).alias("_p"))
+        grouped.select(F.explode(pairs_col).alias("_p"))
         .select(F.col("_p.a").alias("doc_a"), F.col("_p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -635,7 +690,13 @@ def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3,
     a pure bit-op filter on the expanded pairs — zero joins end to end.
     ``max_bucket`` caps degenerate chunk buckets exactly like bucket_pairs
     (identical signatures in every chunk — e.g. empty documents — would
-    otherwise expand quadratically in one task)."""
+    otherwise expand quadratically in one task). CAVEAT: the pigeonhole
+    exact-recall guarantee therefore holds only for pairs whose shared chunk
+    bucket is <= ``max_bucket``; a mass-duplicated signature (>512 copies of
+    the same boilerplate) loses its pairs to the cap — which is why capped
+    counts are always emitted via a named observation, and why mass-dup
+    corpora should run exact_duplicates FIRST (identical text never needs
+    LSH) or pass ``max_bucket=None``."""
     chunks = max_hamming + 1
     width = 64 // chunks
     sigs = simhash_signatures(docs)
@@ -655,14 +716,19 @@ def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3,
         .filter(F.size("_ids") >= 2)
     )
     if max_bucket is not None:
+        over = F.size("_ids") > max_bucket
+        grouped = grouped.observe(
+            f"lsh_capped_buckets_{next(_OBS_SEQ)}",
+            F.sum(over.cast("int")).alias("capped_buckets"),
+            F.max(F.size("_ids")).alias("max_bucket_size"),
+        )
         if dropped is not None:
             grouped = grouped.observe(
                 dropped,
-                F.sum(F.when(F.size("_ids") > max_bucket, 1).otherwise(0))
-                .alias("dropped_buckets"),
+                F.sum(over.cast("int")).alias("dropped_buckets"),
                 F.max(F.size("_ids")).alias("max_bucket_size"),
             )
-        grouped = grouped.filter(F.size("_ids") <= max_bucket)
+        grouped = grouped.filter(~over)
     pairs = (
         grouped.select(F.explode(_pairs_in_bucket(F.col("_ids"))).alias("_p"))
         .select(

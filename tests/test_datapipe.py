@@ -345,6 +345,33 @@ def test_degenerate_bucket_cap(spark, docs):
     assert obs2.get["dropped_buckets"] >= 1
 
 
+def test_oversize_star_sampling(spark, docs):
+    """oversize='star': a bucket past the cap is sampled LINEARLY (every id
+    pairs with the bucket min) instead of dropped wholesale — the mass-
+    duplicated-boilerplate case keeps its cluster connectivity at size-1
+    pairs instead of losing every candidate (round-4 ADVICE)."""
+    empties = spark.createDataFrame(
+        [(100 + i, "", "planted") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    planted = docs.unionByName(empties)
+    banded = dedup.minhash_banded(planted)
+    star = dedup.bucket_pairs(banded, ["band_id", "bucket"], max_bucket=8,
+                              oversize="star")
+    planted_pairs = {
+        (a, b) for a, b in
+        ((r["doc_a"], r["doc_b"]) for r in star.collect())
+        if a >= 100 or b >= 100
+    }
+    # exactly the star: anchor (min id = 100) x each other planted doc
+    assert planted_pairs == {(100, 100 + i) for i in range(1, 20)}
+    # and the star keeps the whole component resolvable to ONE cluster
+    clusters = dedup.duplicate_clusters(
+        star.filter("doc_a >= 100"), planted.filter("doc_id >= 100")
+    )
+    assert clusters.select("cluster_id").distinct().count() == 1
+
+
 def test_ivf_kmeans_centroids(spark, embeddings):
     from tesseract_wasm_spark.datapipe.similarity import brute_force_topk, ivf_topk
 
