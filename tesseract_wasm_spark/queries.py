@@ -1267,12 +1267,45 @@ JOIN read_parquet('{_golden('fixture_pages')}') p ON p.url = g.url
 
 
 def ocr_words(spark, sf_dir):
+    """getTextBoxes over the fixture corpus. The oracle is no longer a pure
+    snapshot echo: only (text, rect, confidence, line_id) are golden values —
+    ``word_id`` and ``flags`` are RE-DERIVED in SQL from reading order
+    (reference src/lib.cpp:307-315 derives Start/EndOfLine from iterator
+    position; the iterator order is line-major, left-to-right within a
+    line), ``baseline``/``block_id`` are re-derived as their line-constant
+    invariant (min over the line), and every row must pass the reference
+    test suite's box invariants (0 <= left < right <= width, top < bottom <=
+    height, baseline inside the line band — test/ocr-engine-test.js:161-167)
+    joined against the page-meta golden: an engine regression that violates
+    any of these turns the gate red via a row drop, not just a value diff."""
     from tesseract_wasm_spark.outputs import words_df  # noqa: PLC0415
 
     return words_df(_fixture_results(spark))
 
 
-SQL_OCR_WORDS = f"SELECT * FROM read_parquet('{_golden('ocr_words')}')"
+SQL_OCR_WORDS = f"""
+WITH w AS (SELECT * FROM read_parquet('{_golden('ocr_words')}')),
+m AS (SELECT * FROM read_parquet('{_golden('ocr_page_meta')}'))
+SELECT w.url,
+       CAST(row_number() OVER (PARTITION BY w.url
+                               ORDER BY w.line_id, w."left", w."top") - 1
+            AS INT) AS word_id,
+       w.line_id, w."left", w."top", w."right", w."bottom",
+       CAST(CASE WHEN row_number() OVER (PARTITION BY w.url, w.line_id
+                                         ORDER BY w."left", w."top") = 1
+                 THEN 1 ELSE 0 END
+          + CASE WHEN row_number() OVER (PARTITION BY w.url, w.line_id
+                                         ORDER BY w."left" DESC, w."top") = 1
+                 THEN 2 ELSE 0 END AS INT) AS flags,
+       w.confidence, w.text,
+       min(w.baseline) OVER (PARTITION BY w.url, w.line_id) AS baseline,
+       min(w.block_id) OVER (PARTITION BY w.url, w.line_id) AS block_id
+FROM w JOIN m ON m.url = w.url
+WHERE (w.text = '' AND w."right" = 0)  -- the OCR-path empty-page quirk row
+   OR (0 <= w."left" AND w."left" < w."right" AND w."right" <= m.width
+       AND 0 <= w."top" AND w."top" < w."bottom" AND w."bottom" <= m.height
+       AND w.baseline BETWEEN w."top" AND w."bottom" + 8)
+"""
 
 
 def ocr_lines(spark, sf_dir):
@@ -1452,11 +1485,12 @@ SQL_OCR_HOCR = _sql_hocr()
 
 def ocr_errors(spark, sf_dir):
     """Error-as-value rows through the OCR surface; the oracle DERIVES them
-    from the other goldens (a cross-surface invariant, not an echo): any
+    from the INPUT goldens (a cross-surface derivation, not an echo): any
     payload without the DRF magic fails with the reference's 'Unsupported
     image format' (drf.py ERR_BAD_MAGIC, reference src/lib.cpp:70-75), and
-    DRF payloads fail with exactly the decode error the media-metadata probe
-    reported for the same url (both surfaces call the same decoder)."""
+    DRF decode errors re-run the decoder's validation tree in SQL (the
+    shared _sql_media_metadata derivation — both surfaces call the same
+    decoder)."""
     from tesseract_wasm_spark.outputs import errors_df  # noqa: PLC0415
 
     return errors_df(_fixture_results(spark))
@@ -1471,12 +1505,14 @@ FROM read_parquet('{_golden('fixture_pages')}')
 WHERE NOT starts_with(html::VARCHAR, 'DRF1')
 UNION ALL
 SELECT url, decode_error AS error
-FROM read_parquet('{_golden('ocr_media_metadata')}')
+FROM ({_sql_media_metadata()})
 WHERE format = 'drf' AND decode_error IS NOT NULL
 """
 
 
-SQL_OCR_ERRORS = _sql_ocr_errors()
+# evaluated after _sql_media_metadata's definition (see the OCR media
+# section below) — module bodies resolve names at call time
+
 
 
 def text_rolling_fp(spark, sf_dir):
@@ -1639,36 +1675,65 @@ def ocr_media_metadata(spark, sf_dir):
     return media_metadata(fixtures_df(spark, n_corpus_pages=_FIXTURE_PAGES))
 
 
-# media-metadata oracle: 5 of 7 columns DERIVED — format from the binary
-# prefix, n_bytes from the blob length, width/height from the page-meta
-# golden (the same decode produced both), image-container decode errors are
-# the pinned constants; only channels (a DRF header field SQL can't index
-# through the escaped blob) and the 2 bad-DRF error strings echo the probe.
-SQL_OCR_MEDIA = f"""
-WITH p AS (SELECT url, html, html::VARCHAR AS hs
+def _sql_media_metadata() -> str:
+    """FULLY derived media-metadata oracle (no engine golden): format from
+    the binary prefix, n_bytes from the blob length, width/height from the
+    page-meta INPUT golden, ``channels`` decoded straight from the DRF
+    header (bytes 12..15, int32 LE — drf.py layout; hex(blob) + byte-swapped
+    TRY_CAST reads it in pure SQL), and the DRF decode errors re-run the
+    decoder's OWN validation tree (drf.decode, reference messages pinned by
+    test/ocr-engine-test.js:63-85): short/bad header -> bad magic, w/h <= 0
+    -> zero dim, channels not in (1,4) -> bad magic; a header-valid DRF page
+    with no page-meta row can only have failed the one remaining check —
+    pixel-length mismatch. (Header ints are non-negative in every legal DRF;
+    0x80000000+ would read as a large positive here, which still fails the
+    right branch.)"""
+    from tesseract_wasm_spark.drf import (  # noqa: PLC0415
+        ERR_BAD_LENGTH, ERR_BAD_MAGIC, ERR_ZERO_DIM,
+    )
+
+    def le32(pos: int) -> str:  # 1-based byte offset of an int32 LE field
+        swapped = " || ".join(
+            f"substr(hx, {2 * (pos + k) - 1}, 2)" for k in (3, 2, 1, 0)
+        )
+        return f"TRY_CAST('0x' || {swapped} AS BIGINT)"
+
+    return f"""
+WITH p AS (SELECT url, html::VARCHAR AS hs, hex(html) AS hx,
+                  octet_length(html) AS n_bytes
            FROM read_parquet('{_golden('fixture_pages')}')),
-g AS (SELECT url, channels, decode_error
-      FROM read_parquet('{_golden('ocr_media_metadata')}')),
-m AS (SELECT url, width, height FROM read_parquet('{_golden('ocr_page_meta')}'))
-SELECT p.url,
-       CASE WHEN starts_with(p.hs, 'DRF1') THEN 'drf'
-            WHEN starts_with(p.hs, unhex('FFD8FF')::VARCHAR) THEN 'jpeg'
-            WHEN starts_with(p.hs, unhex('89504E470D0A1A0A')::VARCHAR) THEN 'png'
-            WHEN starts_with(p.hs, '%PDF-') THEN 'pdf'
-            WHEN p.hs LIKE '<%' THEN 'html'
-            ELSE 'unknown' END AS format,
-       m.width, m.height, g.channels,
-       octet_length(p.html) AS n_bytes,
-       CASE WHEN starts_with(p.hs, unhex('FFD8FF')::VARCHAR)
-            THEN 'decoder not available: jpeg'
-            WHEN starts_with(p.hs, unhex('89504E470D0A1A0A')::VARCHAR)
-            THEN 'decoder not available: png'
-            WHEN starts_with(p.hs, 'DRF1') THEN g.decode_error
-            ELSE NULL END AS decode_error
-FROM p
-LEFT JOIN m ON m.url = p.url
-LEFT JOIN g ON g.url = p.url
+m AS (SELECT url, width, height FROM read_parquet('{_golden('ocr_page_meta')}')),
+d AS (SELECT p.url,
+        CASE WHEN starts_with(p.hs, 'DRF1') THEN 'drf'
+             WHEN starts_with(p.hs, unhex('FFD8FF')::VARCHAR) THEN 'jpeg'
+             WHEN starts_with(p.hs, unhex('89504E470D0A1A0A')::VARCHAR) THEN 'png'
+             WHEN starts_with(p.hs, '%PDF-') THEN 'pdf'
+             WHEN p.hs LIKE '<%' THEN 'html'
+             ELSE 'unknown' END AS format,
+        m.width, m.height, p.n_bytes,
+        {le32(5)} AS hw, {le32(9)} AS hh, {le32(13)} AS hc,
+        m.url IS NOT NULL AS has_meta
+      FROM p LEFT JOIN m ON m.url = p.url),
+e AS (SELECT *,
+        CASE WHEN format = 'jpeg' THEN 'decoder not available: jpeg'
+             WHEN format = 'png' THEN 'decoder not available: png'
+             WHEN format <> 'drf' THEN NULL
+             WHEN n_bytes < 16 THEN '{ERR_BAD_MAGIC}'
+             WHEN hw <= 0 OR hh <= 0 THEN '{ERR_ZERO_DIM}'
+             WHEN hc NOT IN (1, 4) THEN '{ERR_BAD_MAGIC}'
+             WHEN NOT has_meta THEN '{ERR_BAD_LENGTH}'
+             ELSE NULL END AS decode_error
+      FROM d)
+SELECT url, format, width, height,
+       CASE WHEN format = 'drf' AND decode_error IS NULL
+            THEN CAST(hc AS INT) END AS channels,
+       n_bytes, decode_error
+FROM e
 """
+
+
+SQL_OCR_MEDIA = _sql_media_metadata()
+SQL_OCR_ERRORS = _sql_ocr_errors()
 
 
 # ---------------------------------------------------------------- registry

@@ -53,7 +53,9 @@ def main() -> None:
     spark = get_spark(cores=8)
 
     # --- OCR surface (sf-independent: runs on the deterministic fixtures)
-    for name in ("ocr_text", "ocr_words", "ocr_errors", "ocr_media_metadata"):
+    # (ocr_media_metadata needs NO golden: its oracle derives every column
+    #  from fixture_pages + ocr_page_meta — queries._sql_media_metadata)
+    for name in ("ocr_text", "ocr_words", "ocr_errors"):
         fn = Q.REGISTRY[name][0]
         write_golden(fn(spark, SF_DIR), name)
 
