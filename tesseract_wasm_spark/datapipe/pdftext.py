@@ -142,7 +142,8 @@ def pdf_escape_expr(text: Column) -> Column:
 
 
 def make_simple_pdf(lines: list[str], *, compress: bool = False,
-                    operators: str = "tj") -> bytes:
+                    operators: str = "tj",
+                    differences: dict[int, str] | None = None) -> bytes:
     """A minimal valid single-page PDF — the deterministic fixture generator.
 
     ``compress=False``: uncompressed content stream, pure ASCII, so the
@@ -153,11 +154,27 @@ def make_simple_pdf(lines: list[str], *, compress: bool = False,
     ``operators="mixed"``: cycle the three show-operator forms across lines —
     literal ``Tj``, kerned-array ``TJ`` (word gaps as -240 kerns, an
     intra-word -120 nudge that must NOT become a space), and hex ``Tj`` —
-    so extraction must handle all of them to round-trip."""
+    so extraction must handle all of them to round-trip.
+    ``differences``: {code -> AGL glyph name} — the /F1 font gains an
+    /Encoding /Differences array and every line character covered by the
+    map is ENCODED as its remapped code (octal-escaped in literals, raw in
+    hex), so extraction round-trips only by resolving the glyph names
+    (_parse_font_encodings); uncovered characters must be ASCII."""
+    rev = {
+        _AGL[name]: code
+        for code, name in (differences or {}).items() if name in _AGL
+    }
+
+    def code_line(ln: str) -> str:
+        # latin-1 'coded' form: each remapped char becomes chr(its code)
+        return "".join(chr(rev[c]) if c in rev else c for c in ln)
+
     def esc(s: str) -> str:
-        return s.replace("\\", "\\\\").replace("(", r"\(").replace(")", r"\)")
+        s = s.replace("\\", "\\\\").replace("(", r"\(").replace(")", r"\)")
+        return "".join(c if ord(c) < 128 else f"\\{ord(c):03o}" for c in s)
 
     def show(i: int, ln: str) -> str:
+        ln = code_line(ln)
         if operators != "mixed" or i % 3 == 0:
             return f"({esc(ln)}) Tj 0 -14 Td"
         if i % 3 == 1:
@@ -169,7 +186,8 @@ def make_simple_pdf(lines: list[str], *, compress: bool = False,
             )
             elems += [f"-240 ({esc(w)})" for w in words[1:]]
             return f"[{' '.join(elems)}] TJ 0 -14 Td"
-        return f"<{ln.encode('utf-8').hex().upper()}> Tj 0 -14 Td"
+        enc = "latin-1" if differences else "utf-8"
+        return f"<{ln.encode(enc).hex().upper()}> Tj 0 -14 Td"
 
     shows = "\n".join(show(i, ln) for i, ln in enumerate(lines))
     content_b = f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("ascii")
@@ -180,13 +198,21 @@ def make_simple_pdf(lines: list[str], *, compress: bool = False,
         stream_dict = f"<< /Length {len(content_b)} /Filter /FlateDecode >>"
     else:
         stream_dict = f"<< /Length {len(content_b)} >>"
+    if differences:
+        diff_arr = " ".join(f"{c} /{n}" for c, n in sorted(differences.items()))
+        font_obj = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding "
+            f"<< /Type /Encoding /Differences [ {diff_arr} ] >> >>"
+        ).encode("ascii")
+    else:
+        font_obj = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
         stream_dict.encode("ascii") + b"\nstream\n" + content_b + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        font_obj,
     ]
     out: list[bytes] = [b"%PDF-1.4"]
     offsets = []
@@ -235,50 +261,167 @@ _ESC_SHORT = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
               b"f": b"\x0c", b"\n": b""}
 
 
-def _unescape_b(s: bytes) -> str:
+def _unescape_raw(s: bytes) -> bytes:
     def sub(m: "_re.Match[bytes]") -> bytes:
         e = m.group(1)
         if e and all(c in b"01234567" for c in e) and len(e) <= 3:
             return bytes([int(e, 8) % 256])
         return _ESC_SHORT.get(e, e)
 
-    return _PDF_ESC_B.sub(sub, s).decode("latin-1")
+    return _PDF_ESC_B.sub(sub, s)
 
 
-def _hex_bytes_text(hexpart: bytes) -> str:
+def _unescape_b(s: bytes) -> str:
+    return _unescape_raw(s).decode("latin-1")
+
+
+# --- simple-font /Encoding /Differences support (byte path only) ------------
+#
+# Real crawls are full of Type1/TrueType simple fonts whose /Encoding dict
+# remaps character codes via a /Differences array of glyph NAMES (PDF
+# 32000-1 §9.6.6). Scope: simple (one-byte-code) fonts with a Differences
+# array, glyph names resolved through an Adobe-Glyph-List subset covering
+# ASCII + common Latin-1 accents; codes outside the map fall back to latin-1
+# identity (≈ StandardEncoding in the ASCII range); unknown glyph names
+# yield U+FFFD. CID/Type0 composite fonts are out of scope (multi-byte
+# codes, CMaps) and decode through the default path.
+
+#: Adobe Glyph List subset: every ASCII punctuation/digit glyph name plus
+#: the Latin-1 accents that appear in western-European crawls
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "adieresis": "ä", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "idieresis": "ï",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "odieresis": "ö", "ugrave": "ù",
+    "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "germandbls": "ß", "ydieresis": "ÿ",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Ccedilla": "Ç", "Egrave": "È", "Eacute": "É",
+    "Ntilde": "Ñ", "Odieresis": "Ö", "Udieresis": "Ü",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+}
+for _c in range(ord("A"), ord("z") + 1):  # letter glyph names are themselves
+    if chr(_c).isalpha():
+        _AGL.setdefault(chr(_c), chr(_c))
+
+_OBJ_B = _re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", _re.S)
+_DIFFS_B = _re.compile(rb"/Differences\s*\[(.*?)\]", _re.S)
+_DIFF_TOK_B = _re.compile(rb"/([A-Za-z0-9.]+)|(\d+)")
+_FONT_RES_B = _re.compile(rb"/Font\s*<<(.*?)>>", _re.S)
+_FONT_REF_B = _re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R")
+
+
+def _parse_font_encodings(raw: bytes) -> dict[bytes, dict[int, str]]:
+    """Resource name (b'F1') -> {char code -> decoded char} for every simple
+    font object that carries an inline /Encoding /Differences array. Two
+    passes over the raw (uncompressed object-level) file: collect per-object
+    Differences maps, then bind them to resource names through the pages'
+    /Resources /Font dicts. Resource dicts from different pages are merged —
+    same-name-different-font collisions (rare; generators number fonts
+    globally) resolve to the LAST binding, a documented approximation that
+    avoids tracking page->stream ownership."""
+    diffs_by_obj: dict[int, dict[int, str]] = {}
+    for m in _OBJ_B.finditer(raw):
+        body = m.group(2)
+        if b"/Font" not in body and b"/Type1" not in body:
+            continue
+        dm = _DIFFS_B.search(body)
+        if dm is None:
+            continue
+        code, table = 0, {}
+        for tok in _DIFF_TOK_B.finditer(dm.group(1)):
+            name, num = tok.group(1), tok.group(2)
+            if num is not None:
+                code = int(num)
+            else:
+                table[code] = _AGL.get(name.decode("latin-1"), "�")
+                code += 1
+        if table:
+            diffs_by_obj[int(m.group(1))] = table
+    if not diffs_by_obj:
+        return {}
+    fonts: dict[bytes, dict[int, str]] = {}
+    for rm in _FONT_RES_B.finditer(raw):
+        for ref in _FONT_REF_B.finditer(rm.group(1)):
+            objnum = int(ref.group(2))
+            if objnum in diffs_by_obj:
+                fonts[ref.group(1)] = diffs_by_obj[objnum]
+    return fonts
+
+
+def _decode_codes(raw: bytes, diffmap: dict[int, str] | None) -> str:
+    """Show-string bytes -> text under the active simple-font encoding:
+    remapped codes through the Differences table, everything else latin-1
+    identity (StandardEncoding agrees with latin-1 on printable ASCII)."""
+    if not diffmap:
+        return raw.decode("latin-1")
+    return "".join(diffmap.get(b, chr(b)) for b in raw)
+
+
+def _hex_bytes_text(hexpart: bytes,
+                    diffmap: dict[int, str] | None = None) -> str:
     """Byte-path twin of _hex_text: strip whitespace, pad an odd digit count
-    with a trailing 0 (PDF §7.3.4.3), then decode latin-1 — matching literal
-    strings — or UTF-16BE when a FEFF BOM leads (decoded with 'replace' so a
-    truncated surrogate cannot raise; Java's String(bytes, charset) does the
-    same U+FFFD substitution on the expression path)."""
+    with a trailing 0 (PDF §7.3.4.3), then decode through the active font's
+    Differences table if any, else latin-1 — matching literal strings — or
+    UTF-16BE when a FEFF BOM leads (decoded with 'replace' so a truncated
+    surrogate cannot raise; Java's String(bytes, charset) does the same
+    U+FFFD substitution on the expression path)."""
     h = b"".join(hexpart.split())
     if len(h) % 2:
         h += b"0"
     raw = bytes.fromhex(h.decode("ascii"))
+    if diffmap:
+        return _decode_codes(raw, diffmap)
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
     return raw.decode("latin-1")
 
 
-def _op_text_bytes(op: bytes) -> str:
+def _op_text_bytes(op: bytes, diffmap: dict[int, str] | None = None) -> str:
     """One show operator (bytes) -> shown text; exact mirror of the
-    expression path's _op_text/_elem_text. Never raises on a _SHOW_OP match:
-    every alternative's decode path is total (latin-1/replace decoding,
-    odd-hex padding)."""
+    expression path's _op_text/_elem_text, plus the active simple-font
+    encoding (``diffmap``). Never raises on a _SHOW_OP match: every
+    alternative's decode path is total (latin-1/replace decoding, odd-hex
+    padding)."""
     if op.startswith(b"["):
         parts: list[str] = []
         for e in _TJ_ELEM_B.finditer(op):
             tok = e.group(0)
             if tok.startswith(b"("):
-                parts.append(_unescape_b(_STR_B.match(tok).group(1)))
+                parts.append(_decode_codes(_unescape_raw(_STR_B.match(tok).group(1)), diffmap))
             elif tok.startswith(b"<"):
-                parts.append(_hex_bytes_text(tok[1:-1]))
+                parts.append(_hex_bytes_text(tok[1:-1], diffmap))
             elif float(tok.decode("ascii")) <= TJ_SPACE_KERN:
                 parts.append(" ")
         return "".join(parts)
     if op.startswith(b"<"):
-        return _hex_bytes_text(op[: op.index(b">")][1:])
-    return _unescape_b(_STR_B.match(op).group(1))
+        return _hex_bytes_text(op[: op.index(b">")][1:], diffmap)
+    return _decode_codes(_unescape_raw(_STR_B.match(op).group(1)), diffmap)
+
+
+#: one alternation walking a text block in order: font selections (Tf) and
+#: show operators — the Tf operand is how simple-font /Differences encodings
+#: switch on and off mid-stream
+_TF_SHOW_B = _re.compile(
+    rb"/(?P<font>[A-Za-z0-9]+)\s+-?[\d.]+\s+Tf|(?P<show>"
+    + _SHOW_OP.encode("ascii").replace(b"(?s)", b"", 1) + rb")",
+    _re.S,
+)
 
 
 def extract_pdf_bytes(raw: bytes) -> str:
@@ -286,9 +429,14 @@ def extract_pdf_bytes(raw: bytes) -> str:
     /FlateDecode streams with zlib (stdlib — this is a DECODE step like
     drf.decode, so it lives on the Python side of the pipeline), then parse
     show operators (Tj literal/hex, TJ kerned arrays) exactly like the
-    relational expression path."""
+    relational expression path — tracking the active font (Tf) so simple
+    fonts with an /Encoding /Differences array decode through their glyph
+    table (_parse_font_encodings). The text font is graphics state, so the
+    active font persists across BT blocks and stream boundaries."""
     import zlib  # noqa: PLC0415
 
+    fonts = _parse_font_encodings(raw)
+    diffmap: dict[int, str] | None = None
     runs: list[str] = []
     for m in _STREAM_RE.finditer(raw):
         head, body = m.group(1), m.group(2)
@@ -305,8 +453,15 @@ def extract_pdf_bytes(raw: bytes) -> str:
             except zlib.error:
                 continue  # corrupt stream: skip, never throw (error-as-value)
         for block in _BT_ET_B.finditer(body):
-            for op in _SHOW_OP_B.finditer(block.group(1)):
-                runs.append(_op_text_bytes(op.group(0)))
+            if fonts:
+                for t in _TF_SHOW_B.finditer(block.group(1)):
+                    if t.group("font") is not None:
+                        diffmap = fonts.get(t.group("font"))
+                    else:
+                        runs.append(_op_text_bytes(t.group("show"), diffmap))
+            else:  # no Differences-encoded fonts: skip the Tf state machine
+                for op in _SHOW_OP_B.finditer(block.group(1)):
+                    runs.append(_op_text_bytes(op.group(0)))
     return "\n".join(runs)
 
 
