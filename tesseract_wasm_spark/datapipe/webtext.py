@@ -25,15 +25,41 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: tags whose entire element is boilerplate (non-greedy match; same-tag
-#: nesting is out of heuristic scope, as in the classic implementations).
+#: tags whose entire element is boilerplate.
 #: NOTE '<head\\b' does not match '<header' (\\b fails before 'e'), so both
-#: can coexist. Cost note: each tag is one regexp_replace pass over the
-#: payload — linear in tag count, all inside whole-stage codegen.
+#: can coexist. Cost note: each tag is NESTED_STRIP_PASSES regexp_replace
+#: passes over the payload — linear in tag count x pass count, all inside
+#: whole-stage codegen.
 _CONTAINER_TAGS = (
     "script", "style", "head", "nav", "footer", "aside",
     "header", "form", "noscript", "iframe", "svg", "figure",
 )
+
+#: passes of the innermost-element strip below: same-tag nesting up to this
+#: depth is fully removed (`<div>`-in-`<div>`-style boilerplate is one unit
+#: in real pages); depth 3 covers the overwhelming real-world case, deeper
+#: nests degrade to the old leave-the-tail behavior.
+NESTED_STRIP_PASSES = 3
+
+
+def container_pattern(tag: str) -> str:
+    """INNERMOST-element match for one container tag — RE2-safe (DuckDB's
+    regex engine has no lookaround), so 'content contains no same-tag
+    open/close' is spelled as character-class tempering: content atoms are
+    any non-'<' char, or '<' followed by an alternation that can't begin
+    ``tag``/``/tag`` (prefix+negated-class chains; a full tag name followed
+    by a word char is NOT the tag, preserving the head/header distinction).
+    Iterating the replace peels one nesting level per pass, innermost-first
+    — pass K resolves depth-K same-tag nesting exactly; single-level
+    elements (including ones holding OTHER tags, e.g. links) match on the
+    first pass, so non-nested behavior is unchanged vs the classic
+    non-greedy form."""
+    alts = [f"[^/{tag[0]}]", f"/[^{tag[0]}]"]
+    for i in range(1, len(tag)):
+        alts += [f"{tag[:i]}[^{tag[i]}]", f"/{tag[:i]}[^{tag[i]}]"]
+    alts += [f"{tag}[A-Za-z0-9]", f"/{tag}[A-Za-z0-9]"]
+    body = "|".join(alts)
+    return rf"(?is)<{tag}\b[^>]*>(?:[^<]|<(?:{body}))*</{tag}>"
 
 #: block-level boundaries that delimit candidate text blocks
 _BLOCK_SPLIT = (
@@ -98,10 +124,13 @@ def _block_text(seg: Column) -> Column:
 
 
 def _strip_containers(html: Column) -> Column:
-    """Comments + whole-element boilerplate containers removed."""
+    """Comments + whole-element boilerplate containers removed; the
+    innermost-first pattern iterated NESTED_STRIP_PASSES times resolves
+    same-tag nesting to depth 3 (see container_pattern)."""
     h = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
-    for tag in _CONTAINER_TAGS:
-        h = F.regexp_replace(h, rf"(?is)<{tag}\b.*?</{tag}>", " ")
+    for _ in range(NESTED_STRIP_PASSES):
+        for tag in _CONTAINER_TAGS:
+            h = F.regexp_replace(h, container_pattern(tag), " ")
     return h
 
 

@@ -906,6 +906,7 @@ def _sql_main_text_over(col_sql: str, min_quality: float | None = None,
     of the newline-joined text (per-block analyses)."""
     from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
         _ANCHOR_TEXT, _BLOCK_SPLIT, _CONTAINER_TAGS, _NUM_ENT,
+        NESTED_STRIP_PASSES, container_pattern,
     )
 
     def dec(src: str) -> str:
@@ -948,10 +949,11 @@ def _sql_main_text_over(col_sql: str, min_quality: float | None = None,
         )
         qfilter = f" AND {quality} >= {min_quality}"
     stripped = f"regexp_replace({col_sql}, '(?s)<!--.*?-->', ' ', 'g')"
-    for tag in _CONTAINER_TAGS:
-        stripped = (
-            rf"regexp_replace({stripped}, '(?is)<{tag}\b.*?</{tag}>', ' ', 'g')"
-        )
+    for _ in range(NESTED_STRIP_PASSES):
+        for tag in _CONTAINER_TAGS:
+            stripped = (
+                f"regexp_replace({stripped}, '{container_pattern(tag)}', ' ', 'g')"
+            )
     blocks = (
         f"list_transform(string_split_regex({stripped}, '{_BLOCK_SPLIT}'), "
         f"s -> struct_pack(txt := {txt}, "

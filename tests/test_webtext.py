@@ -243,3 +243,45 @@ def test_extract_any_dispatch_fuzz(spark):
             assert rows[u]["error"].startswith("decoder not available")
         elif rows[u]["kind"] == "ocr" and len(p) < 16:
             assert rows[u]["error"] is not None  # truncated DRF: error value
+
+
+def test_nested_same_tag_containers(spark):
+    """Same-tag nesting (`<nav>`-in-`<nav>`, the real-page menu shape) is one
+    boilerplate unit: the innermost-first strip iterated NESTED_STRIP_PASSES
+    times removes depth <= 3 completely — including the tail content after
+    the inner close that the old single non-greedy pass leaked — and the
+    DuckDB twin (the identical interpolated pattern) agrees byte-for-byte."""
+    import duckdb
+
+    from tesseract_wasm_spark.queries import _sql_main_text_over
+
+    html = (
+        "<html><body>"
+        "<nav>menu a<nav>sub b<nav>subsub c</nav>tail c</nav>tail b</nav>"
+        "<p>kept paragraph</p>"
+        "<header>h1<header>h2</header>h tail</header>"
+        "<div>second kept</div>"
+        "</body></html>"
+    )
+    expected = "kept paragraph\nsecond kept"
+    assert _extract_one(spark, html) == expected
+    con = duckdb.connect()
+    got = con.execute(
+        f"WITH pages AS (SELECT '{html}' AS h) "
+        f"SELECT {_sql_main_text_over('h')} FROM pages"
+    ).fetchone()[0]
+    assert got == expected
+
+
+def test_nested_depth_beyond_passes_degrades_gracefully(spark):
+    """Depth-4 nesting (beyond NESTED_STRIP_PASSES) leaves only the
+    outermost residue, never crashes, and still drops the inner levels."""
+    html = (
+        "<html><body>"
+        "<nav>a<nav>b<nav>c<nav>d</nav>e</nav>f</nav>g</nav>"
+        "<p>real text</p></body></html>"
+    )
+    # passes peel innermost-first: d, then c/e, then b/f resolve; the
+    # outermost level has no pass left, so its own text ('a g') leaks as a
+    # block — the documented degradation, identical in the twin
+    assert _extract_one(spark, html) == "a g\nreal text"
