@@ -34,6 +34,37 @@ def url_bucket_col():
     return F.pmod(F.xxhash64("url"), F.lit(URL_BUCKETS)).cast("int")
 
 
+def iceberg_results_ddl(table: str, df: DataFrame, *,
+                        bucket_on: str = "url") -> str:
+    """The CREATE TABLE statement an Iceberg deployment runs ONCE before the
+    first append — the partition-spec twin of the parquet layout: parquet
+    partitions by the materialized ``url_bucket`` column (pmod(xxhash64)),
+    Iceberg declares ``bucket(URL_BUCKETS, url)`` natively so the catalog
+    owns the transform (Iceberg buckets with murmur3 rather than xxhash64 —
+    the VALUES differ but the contract is the same: a fixed URL_BUCKETS-way
+    url-hash fan-out, storage-partitioned resume joins, per-bucket replay/
+    compaction). The ``url_bucket`` column itself is parquet-layout-only and
+    excluded from the Iceberg schema."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != "url_bucket"
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING iceberg "
+        f"PARTITIONED BY (bucket({URL_BUCKETS}, {bucket_on}))"
+    )
+
+
+def ensure_iceberg_table(spark: SparkSession, table: str, df: DataFrame, *,
+                         bucket_on: str = "url") -> str:
+    """Create the bucket-partitioned Iceberg results table if absent and
+    return the DDL used (contract-tested; executes only under a real Iceberg
+    catalog)."""
+    ddl = iceberg_results_ddl(table, df, bucket_on=bucket_on)
+    spark.sql(ddl)
+    return ddl
+
+
 def write_table(df: DataFrame, path: str, *, fmt: str | None = None,
                 partition_by: tuple[str, ...] = ()) -> None:
     """Iceberg-compatible writer abstraction (SURVEY.md §7): appends go to an
@@ -51,6 +82,11 @@ def write_table(df: DataFrame, path: str, *, fmt: str | None = None,
         )
         fmt = "iceberg" if has_iceberg else "parquet"
     if fmt == "iceberg":
+        if "url_bucket" in partition_by and "url_bucket" in df.columns:
+            # the Iceberg spec (bucket(URL_BUCKETS, url), see
+            # iceberg_results_ddl) owns the fan-out; the materialized column
+            # exists only for the parquet directory layout
+            df = df.drop("url_bucket")
         df.writeTo(path).append()
     else:
         w = df.write.mode("append")
