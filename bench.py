@@ -57,6 +57,49 @@ def _ensure_corpus(cores: int) -> None:
     spark.stop()
 
 
+N_MIXED = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_PAGES", str(N_PAGES // 2)))
+MIXED_CORPUS_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_MIXED", f"/tmp/twspark_bench_mixed_v1_{N_MIXED}.parquet"
+)
+
+
+def _ensure_mixed_corpus(cores: int) -> None:
+    """50/25/25 DRF/HTML/PDF corpus (the soak mix) for the extract_any lane."""
+    if os.path.exists(MIXED_CORPUS_PATH):
+        return
+    from tesseract_wasm_spark.fixtures import mixed_corpus_df
+    from tesseract_wasm_spark.session import get_spark
+
+    spark = get_spark("bench-mixed-corpus", cores=cores)
+    mixed_corpus_df(spark, N_MIXED, seed=29, partitions=cores * 2).write.mode(
+        "overwrite"
+    ).parquet(MIXED_CORPUS_PATH)
+    spark.stop()
+
+
+def _mixed_worker(cores: int) -> dict:
+    """Measure the FUSED mixed-payload plan (pipeline.extract_any: one scan,
+    payload NULLed for non-Python rows, one mapInPandas) at local[cores] —
+    the wall-clock companion to the single-Scan plan test, so a plan
+    regression shows up as a throughput drop, not only a test failure."""
+    from pyspark.sql import functions as F
+
+    from tesseract_wasm_spark.pipeline import extract_any
+    from tesseract_wasm_spark.session import get_spark
+
+    spark = get_spark(f"bench-mixed-{cores}", cores=cores)
+    pages = spark.read.parquet(MIXED_CORPUS_PATH)
+    n = pages.count()
+    extract_any(pages.limit(cores * 8), num_partitions=cores).count()  # warm
+    t0 = time.monotonic()
+    res = extract_any(pages, num_partitions=cores * 2)
+    n_err = res.filter(F.col("error").isNotNull()).count()
+    wall = time.monotonic() - t0
+    spark.stop()
+    return {"cores": cores, "pages": n, "errors": n_err, "wall_sec": wall,
+            "pages_per_sec": n / wall}
+
+
 def _ocr_worker(cores: int) -> dict:
     """Measure OCR throughput at local[cores]."""
     from pyspark.sql import functions as F
@@ -258,10 +301,37 @@ def _run_sub(mode: str, cores: int) -> dict:
     raise RuntimeError(f"worker {mode}/{cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
+def _mixed_section(mixed: dict | None, eff_mixed: float) -> str:
+    if not mixed:
+        return ""
+    rows = "\n".join(
+        f"| local[{r['cores']}] | {r['pages']} | {r['errors']} | "
+        f"{r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
+        for r in mixed.values()
+    )
+    return f"""## Mixed-corpus extract_any (fused single-scan plan)
+
+50/25/25 DRF/HTML/PDF corpus (fixtures.mixed_corpus_df, the soak mix —
+PDFs include FlateDecode + mixed show operators), through the unified
+dispatch: ONE scan, HTML extracted in whole-stage codegen, payload bytes
+carried only for OCR/PDF rows, one mapInPandas. Single run per level.
+
+| config | pages | error rows | wall (s) | pages/sec |
+|---|---|---|---|---|
+{rows}
+
+extract_any 4 -> 16 scaling efficiency: **{eff_mixed:.3f}** (same host
+window as the headline pair above; DRF pages dominate the compute, so this
+tracks the OCR lane with the HTML/PDF branches riding along).
+
+"""
+
+
 def _write_baseline_md(ocr: dict, eff_unsat: float, eff_sat: float,
                        spin: dict, engine: dict, queries: dict,
                        *, spin_unsat: float, n_runs: int,
-                       eff_adj: float) -> None:
+                       eff_adj: float, mixed: dict | None = None,
+                       eff_mixed: float = float("nan")) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['pages']} | {r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
@@ -311,7 +381,7 @@ limited only by input splits (>= 4N partitions guaranteed by
 `rebalance_pages`).
 
 
-## Reference comparison (single-node, same page scale)
+{_mixed_section(mixed, eff_mixed)}## Reference comparison (single-node, same page scale)
 
 The reference's own per-page bounds on a comparable page (~1070x618, ~150
 words — test/ocr-engine-test.js): layout analysis < 2,000 ms, full OCR
@@ -399,8 +469,12 @@ last row of the history."""
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         mode, cores = sys.argv[2], int(sys.argv[3])
-        _ensure_corpus(cores)
-        result = _ocr_worker(cores) if mode == "ocr" else _queries_worker(cores)
+        if mode == "mixed":
+            _ensure_mixed_corpus(cores)
+            result = _mixed_worker(cores)
+        else:
+            _ensure_corpus(cores)
+            result = _ocr_worker(cores) if mode == "ocr" else _queries_worker(cores)
         print(json.dumps(result))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--minhash-scale":
@@ -448,6 +522,14 @@ def main() -> None:
     eff_unsat = (med[16] / med[4]) / 4.0
     eff_adj = (med_adj[16] / med_adj[4]) / 4.0
     spin_unsat = statistics.median(spin_pair_effs)
+    # mixed-corpus extract_any lane (round-4 item 7): one shot per level —
+    # the fused-plan claim gets a wall-clock number at two parallelism levels
+    mixed: dict[int, dict] = {}
+    eff_mixed = float("nan")
+    if elapsed() < 420:
+        for c in (4, 16):
+            mixed[c] = _run_sub("mixed", c)
+        eff_mixed = (mixed[16]["pages_per_sec"] / mixed[4]["pages_per_sec"]) / 4.0
     if elapsed() < 460:
         spin = _spin_control()
         engine = _engine_control()
@@ -462,10 +544,13 @@ def main() -> None:
             "adj": round(eff_adj, 3), "spin_pair": round(spin_unsat, 3),
             "p4": round(med[4], 1), "p16": round(med[16], 1),
             "sat_8_32": _r3(eff_sat), "n_runs": len(runs[4]),
+            "mixed_p4": _r3(mixed[4]["pages_per_sec"]) if mixed else None,
+            "mixed_p16": _r3(mixed[16]["pages_per_sec"]) if mixed else None,
+            "mixed_eff": _r3(eff_mixed),
         }) + "\n")
     _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries,
                        spin_unsat=spin_unsat, n_runs=len(runs[4]),
-                       eff_adj=eff_adj)
+                       eff_adj=eff_adj, mixed=mixed, eff_mixed=eff_mixed)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -493,6 +578,12 @@ def main() -> None:
                 "scaling_efficiency_8_to_32": _r3(eff_sat),
                 "engine_control_efficiency_4_to_16": _r3(engine["efficiency"]),
                 "spin_control_efficiency_8_to_32": _r3(spin["efficiency"]),
+                "extract_any_mixed": {
+                    f"local[{c}]": round(r["pages_per_sec"], 2)
+                    for c, r in mixed.items()
+                },
+                "extract_any_mixed_pages": mixed[16]["pages"] if mixed else None,
+                "scaling_efficiency_mixed_4_to_16": _r3(eff_mixed),
             }
         )
     )
