@@ -54,12 +54,27 @@ def container_pattern(tag: str) -> str:
     elements (including ones holding OTHER tags, e.g. links) match on the
     first pass, so non-nested behavior is unchanged vs the classic
     non-greedy form."""
+    return rf"(?is){_container_alt(tag)}"
+
+
+def _container_alt(tag: str) -> str:
     alts = [f"[^/{tag[0]}]", f"/[^{tag[0]}]"]
     for i in range(1, len(tag)):
         alts += [f"{tag[:i]}[^{tag[i]}]", f"/{tag[:i]}[^{tag[i]}]"]
     alts += [f"{tag}[A-Za-z0-9]", f"/{tag}[A-Za-z0-9]"]
     body = "|".join(alts)
-    return rf"(?is)<{tag}\b[^>]*>(?:[^<]|<(?:{body}))*</{tag}>"
+    return rf"<{tag}\b[^>]*>(?:[^<]|<(?:{body}))*</{tag}>"
+
+
+def containers_pattern() -> str:
+    """ALL container tags fused into one alternation — one linear scan per
+    strip pass instead of one per tag (12x fewer passes over the payload;
+    at 100 TB the strip is payload-bandwidth-bound, so scan count is the
+    cost). Leftmost-match semantics are identical to the per-tag loop on
+    well-formed pages (each alternative excludes only its OWN tag from the
+    content, so cross-tag containment matches wholesale either way)."""
+    body = "|".join(_container_alt(t) for t in _CONTAINER_TAGS)
+    return rf"(?is)(?:{body})"
 
 #: block-level boundaries that delimit candidate text blocks
 _BLOCK_SPLIT = (
@@ -128,9 +143,9 @@ def _strip_containers(html: Column) -> Column:
     innermost-first pattern iterated NESTED_STRIP_PASSES times resolves
     same-tag nesting to depth 3 (see container_pattern)."""
     h = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
+    fused = containers_pattern()
     for _ in range(NESTED_STRIP_PASSES):
-        for tag in _CONTAINER_TAGS:
-            h = F.regexp_replace(h, container_pattern(tag), " ")
+        h = F.regexp_replace(h, fused, " ")
     return h
 
 

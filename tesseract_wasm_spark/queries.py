@@ -905,8 +905,8 @@ def _sql_main_text_over(col_sql: str, min_quality: float | None = None,
     block ``b`` — when given, the result is the LIST of projections instead
     of the newline-joined text (per-block analyses)."""
     from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
-        _ANCHOR_TEXT, _BLOCK_SPLIT, _CONTAINER_TAGS, _NUM_ENT,
-        NESTED_STRIP_PASSES, container_pattern,
+        _ANCHOR_TEXT, _BLOCK_SPLIT, _NUM_ENT,
+        NESTED_STRIP_PASSES, containers_pattern,
     )
 
     def dec(src: str) -> str:
@@ -950,10 +950,9 @@ def _sql_main_text_over(col_sql: str, min_quality: float | None = None,
         qfilter = f" AND {quality} >= {min_quality}"
     stripped = f"regexp_replace({col_sql}, '(?s)<!--.*?-->', ' ', 'g')"
     for _ in range(NESTED_STRIP_PASSES):
-        for tag in _CONTAINER_TAGS:
-            stripped = (
-                f"regexp_replace({stripped}, '{container_pattern(tag)}', ' ', 'g')"
-            )
+        stripped = (
+            f"regexp_replace({stripped}, '{containers_pattern()}', ' ', 'g')"
+        )
     blocks = (
         f"list_transform(string_split_regex({stripped}, '{_BLOCK_SPLIT}'), "
         f"s -> struct_pack(txt := {txt}, "
