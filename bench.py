@@ -57,7 +57,7 @@ def _ensure_corpus(cores: int) -> None:
     spark.stop()
 
 
-N_MIXED = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_PAGES", str(N_PAGES // 2)))
+N_MIXED = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_PAGES", str(N_PAGES)))
 MIXED_CORPUS_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_MIXED", f"/tmp/twspark_bench_mixed_v1_{N_MIXED}.parquet"
 )
@@ -91,13 +91,21 @@ def _mixed_worker(cores: int) -> dict:
     pages = spark.read.parquet(MIXED_CORPUS_PATH)
     n = pages.count()
     extract_any(pages.limit(cores * 8), num_partitions=cores).count()  # warm
+    # per-job constant floor (same shape, near-empty input) — same protocol
+    # as the OCR lane, so an overhead-adjusted efficiency can be published
+    t0 = time.monotonic()
+    extract_any(pages.limit(cores * 2), num_partitions=cores * 2).filter(
+        F.col("error").isNotNull()
+    ).count()
+    t_floor = time.monotonic() - t0
     t0 = time.monotonic()
     res = extract_any(pages, num_partitions=cores * 2)
     n_err = res.filter(F.col("error").isNotNull()).count()
     wall = time.monotonic() - t0
     spark.stop()
     return {"cores": cores, "pages": n, "errors": n_err, "wall_sec": wall,
-            "pages_per_sec": n / wall}
+            "pages_per_sec": n / wall, "floor_sec": t_floor,
+            "pages_per_sec_adj": n / max(wall - t_floor, 1e-9)}
 
 
 def _ocr_worker(cores: int) -> dict:
@@ -301,12 +309,14 @@ def _run_sub(mode: str, cores: int) -> dict:
     raise RuntimeError(f"worker {mode}/{cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
-def _mixed_section(mixed: dict | None, eff_mixed: float) -> str:
+def _mixed_section(mixed: dict | None, eff_mixed: float,
+                   eff_mixed_adj: float) -> str:
     if not mixed:
         return ""
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['pages']} | {r['errors']} | "
-        f"{r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
+        f"{r['wall_sec']:.2f} | {r.get('floor_sec', 0.0):.2f} | "
+        f"{r['pages_per_sec']:.1f} |"
         for r in mixed.values()
     )
     return f"""## Mixed-corpus extract_any (fused single-scan plan)
@@ -316,13 +326,16 @@ PDFs include FlateDecode + mixed show operators), through the unified
 dispatch: ONE scan, HTML extracted in whole-stage codegen, payload bytes
 carried only for OCR/PDF rows, one mapInPandas. Single run per level.
 
-| config | pages | error rows | wall (s) | pages/sec |
-|---|---|---|---|---|
+| config | pages | error rows | wall (s) | job floor (s) | pages/sec |
+|---|---|---|---|---|---|
 {rows}
 
-extract_any 4 -> 16 scaling efficiency: **{eff_mixed:.3f}** (same host
-window as the headline pair above; DRF pages dominate the compute, so this
-tracks the OCR lane with the HTML/PDF branches riding along).
+extract_any 4 -> 16 scaling efficiency: **{eff_mixed:.3f}** raw /
+**{eff_mixed_adj:.3f}** net of the per-job constant floor (the mix is
+~2x lighter per page than the pure-DRF lane, so at bench size the 16-core
+wall is floor-dominated; the adjusted number is the steady-state figure a
+real job runs at). Single-shot per level — read it with the paired spin
+ceiling above.
 
 """
 
@@ -331,7 +344,8 @@ def _write_baseline_md(ocr: dict, eff_unsat: float, eff_sat: float,
                        spin: dict, engine: dict, queries: dict,
                        *, spin_unsat: float, n_runs: int,
                        eff_adj: float, mixed: dict | None = None,
-                       eff_mixed: float = float("nan")) -> None:
+                       eff_mixed: float = float("nan"),
+                       eff_mixed_adj: float = float("nan")) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['pages']} | {r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
@@ -381,7 +395,7 @@ limited only by input splits (>= 4N partitions guaranteed by
 `rebalance_pages`).
 
 
-{_mixed_section(mixed, eff_mixed)}## Reference comparison (single-node, same page scale)
+{_mixed_section(mixed, eff_mixed, eff_mixed_adj)}## Reference comparison (single-node, same page scale)
 
 The reference's own per-page bounds on a comparable page (~1070x618, ~150
 words — test/ocr-engine-test.js): layout analysis < 2,000 ms, full OCR
@@ -525,11 +539,14 @@ def main() -> None:
     # mixed-corpus extract_any lane (round-4 item 7): one shot per level —
     # the fused-plan claim gets a wall-clock number at two parallelism levels
     mixed: dict[int, dict] = {}
-    eff_mixed = float("nan")
+    eff_mixed = eff_mixed_adj = float("nan")
     if elapsed() < 420:
         for c in (4, 16):
             mixed[c] = _run_sub("mixed", c)
         eff_mixed = (mixed[16]["pages_per_sec"] / mixed[4]["pages_per_sec"]) / 4.0
+        eff_mixed_adj = (
+            mixed[16]["pages_per_sec_adj"] / mixed[4]["pages_per_sec_adj"]
+        ) / 4.0
     if elapsed() < 460:
         spin = _spin_control()
         engine = _engine_control()
@@ -546,11 +563,12 @@ def main() -> None:
             "sat_8_32": _r3(eff_sat), "n_runs": len(runs[4]),
             "mixed_p4": _r3(mixed[4]["pages_per_sec"]) if mixed else None,
             "mixed_p16": _r3(mixed[16]["pages_per_sec"]) if mixed else None,
-            "mixed_eff": _r3(eff_mixed),
+            "mixed_eff": _r3(eff_mixed), "mixed_eff_adj": _r3(eff_mixed_adj),
         }) + "\n")
     _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries,
                        spin_unsat=spin_unsat, n_runs=len(runs[4]),
-                       eff_adj=eff_adj, mixed=mixed, eff_mixed=eff_mixed)
+                       eff_adj=eff_adj, mixed=mixed, eff_mixed=eff_mixed,
+                       eff_mixed_adj=eff_mixed_adj)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -584,6 +602,7 @@ def main() -> None:
                 },
                 "extract_any_mixed_pages": mixed[16]["pages"] if mixed else None,
                 "scaling_efficiency_mixed_4_to_16": _r3(eff_mixed),
+                "scaling_efficiency_mixed_floor_adjusted_4_to_16": _r3(eff_mixed_adj),
             }
         )
     )
