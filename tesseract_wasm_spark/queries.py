@@ -1152,6 +1152,85 @@ FROM pages
 SQL_PDF_TEXT = _sql_pdf_text()
 
 
+def warc_extract(spark, sf_dir):
+    """WARC source round-trip (datapipe/warc.py — the container Common-Crawl
+    corpora ship in): each document is wrapped in an HTML page, packed into
+    per-batch WARC/1.0 response records with one gzip member per record
+    (make_warc), parsed BACK by the archive parser (parse_warc_bytes, the
+    same code path read_warc runs per archive file), and the recovered
+    payload goes through the relational main-content extractor. The oracle
+    derives the identical (url, warc_ts, main_text) straight from the
+    documents table — page build + strip twin + timestamp arithmetic in SQL
+    — so a single corrupted byte of payload, url, or timestamp anywhere in
+    the container build/parse goes hash-red."""
+    import pandas as pd  # noqa: PLC0415
+    from datetime import datetime, timedelta  # noqa: PLC0415
+
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.warc import (  # noqa: PLC0415
+        make_warc, parse_warc_bytes,
+    )
+    from tesseract_wasm_spark.datapipe.webtext import main_content_expr  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = datetime(2024, 1, 1)
+
+    def esc(t: str) -> str:  # python twin of webtext.html_escape_expr
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;").replace('"', "&#34;")
+                 .replace("'", "&#x27;"))
+
+    def roundtrip(batches):
+        for pdf in batches:
+            recs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://warc.test/{int(did)}"
+                ts = (base + timedelta(minutes=int(did))).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")
+                page = (
+                    "<html><head><title>d</title></head><body>"
+                    '<nav><a href="/">Home</a></nav><article><p>'
+                    + esc(str(text))
+                    + "</p></article><footer>2024 example corp</footer>"
+                    "</body></html>"
+                ).encode("utf-8")
+                recs.append((url, ts, page))
+            rows, _n_bad = parse_warc_bytes(make_warc(recs))
+            frame = pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+            frame["warc_ts"] = pd.to_datetime(
+                frame["warc_ts"], utc=True
+            ).dt.tz_localize(None)
+            yield frame
+
+    parsed = _spread(docs).mapInPandas(
+        roundtrip, schema="url string, warc_ts timestamp_ntz, html binary"
+    )
+    return parsed.select(
+        "url", "warc_ts",
+        main_content_expr(F.col("html").cast("string")).alias("main_text"),
+    )
+
+
+_SQL_WARC_ESC = (
+    "replace(replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'&', '&amp;', 'g'), "
+    "'<', '&lt;', 'g'), '>', '&gt;', 'g'), '\"', '&#34;'), chr(39), '&#x27;')"
+)
+
+SQL_WARC_EXTRACT = f"""
+WITH pages AS (
+  SELECT 'https://warc.test/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS warc_ts,
+         '<html><head><title>d</title></head><body>'
+         || '<nav><a href="/">Home</a></nav><article><p>'
+         || {_SQL_WARC_ESC}
+         || '</p></article><footer>2024 example corp</footer></body></html>' AS h
+  FROM documents)
+SELECT url, warc_ts, {_sql_main_text_over('h')} AS main_text
+FROM pages
+"""
+
+
 def extract_mixed(spark, sf_dir):
     """Unified extraction over the mixed fixture corpus (DRF images -> OCR,
     PDFs -> byte-level stream parse, HTML -> webtext strip, PNG/JPEG ->
@@ -1781,6 +1860,7 @@ REGISTRY: dict[str, tuple] = {
     "html_block_langs": (html_block_langs, SQL_HTML_BLOCK_LANGS),
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
+    "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

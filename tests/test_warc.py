@@ -1,0 +1,81 @@
+"""WARC source tests: the container Common-Crawl-style corpora ship in —
+build/parse round-trip, per-record gzip members, malformed-record skipping,
+the Spark binaryFile reader, and end-to-end extraction over parsed rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tesseract_wasm_spark.datapipe.warc import (
+    make_warc,
+    parse_warc_bytes,
+    read_warc,
+    warc_file_stats,
+)
+
+_RECS = [
+    ("https://example.test/a", "2024-01-01T00:00:00Z", b"<html><body><p>alpha doc</p></body></html>"),
+    ("https://example.test/b", "2024-01-01T00:01:00Z", b"<html><body><p>beta doc</p></body></html>"),
+    ("https://example.test/c", "2024-01-02T12:30:00Z", b"\x00\x01binary payload\xff"),
+]
+
+
+def test_round_trip_plain_and_gzip():
+    for compress in (False, True):
+        blob = make_warc(_RECS, compress=compress)
+        if compress:
+            assert blob[:2] == b"\x1f\x8b"
+            # one gzip member per record (the .warc.gz seekable convention)
+            assert blob.count(b"\x1f\x8b\x08") >= 3
+        rows, n_bad = parse_warc_bytes(blob)
+        assert n_bad == 0
+        assert [(r["url"], r["warc_ts"], r["html"]) for r in rows] == _RECS
+
+
+def test_non_response_records_skipped_and_bad_counted():
+    blob = make_warc(_RECS[:1], compress=False)
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+    rows, n_bad = parse_warc_bytes(warcinfo + blob + bad)
+    assert [r["url"] for r in rows] == ["https://example.test/a"]
+    assert n_bad == 1
+    # truncated gzip member: parsed records kept, no exception
+    gz = make_warc(_RECS, compress=True)
+    rows2, _ = parse_warc_bytes(gz[: len(gz) - 7])
+    assert len(rows2) >= 2
+
+
+def test_read_warc_spark(spark, tmp_path):
+    (tmp_path / "f1.warc.gz").write_bytes(make_warc(_RECS[:2]))
+    (tmp_path / "f2.warc.gz").write_bytes(make_warc(_RECS[2:]))
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {r[0] for r in _RECS}
+    assert bytes(rows["https://example.test/c"]["html"]) == _RECS[2][2]
+    assert str(rows["https://example.test/b"]["warc_ts"]) == "2024-01-01 00:01:00"
+    stats = {r["path"].rsplit("/", 1)[-1]: r for r in
+             warc_file_stats(spark, str(tmp_path / "*.warc.gz")).collect()}
+    assert stats["f1.warc.gz"]["n_records"] == 2
+    assert stats["f2.warc.gz"]["n_records"] == 1
+    assert all(s["n_bad"] == 0 for s in stats.values())
+
+
+def test_warc_to_extraction_end_to_end(spark, tmp_path):
+    """The full source tier: archive -> (url, warc_ts, html) -> extract_any
+    main text, byte-identical to the page content."""
+    from tesseract_wasm_spark.pipeline import extract_any
+
+    page = (b"<html><head><title>t</title></head><body>"
+            b'<nav><a href="/">Home</a></nav>'
+            b"<article><p>warc to text pipeline works</p></article>"
+            b"<footer>2024</footer></body></html>")
+    (tmp_path / "c.warc.gz").write_bytes(
+        make_warc([("https://example.test/p", "2024-02-01T00:00:00Z", page)])
+    )
+    pages = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    out = extract_any(pages).collect()
+    assert len(out) == 1
+    assert out[0]["kind"] == "html" and out[0]["error"] is None
+    assert out[0]["text_out"] == "warc to text pipeline works"
