@@ -254,6 +254,62 @@ def block_languages(docs: DataFrame, *, html_col: str = "html_text",
     return scored.select(F.col("doc_id").alias(id_col), "block_pos", "pred_lang")
 
 
+#: bytes of payload sniffed for a <meta charset> declaration — the WHATWG
+#: prescan window; decoding more buys nothing (the declaration must appear
+#: early to be honored by browsers too)
+CHARSET_SNIFF_BYTES = 1024
+
+_META_CHARSET = (
+    r"(?i)<meta[^>]*charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)"
+)
+
+#: charset label (lowercased, after alias folding) -> JVM decode charset.
+#: Spark's decode() supports exactly six charsets; windows-1252 folds to
+#: ISO-8859-1 (identical for all printable positions except 0x80-0x9F
+#: typographic punctuation — a documented approximation), unknown labels
+#: fall back to UTF-8-with-replacement like browsers do.
+_CHARSET_MAP = {
+    "utf-8": "UTF-8", "utf8": "UTF-8",
+    "iso-8859-1": "ISO-8859-1", "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
+    "windows-1252": "ISO-8859-1", "cp1252": "ISO-8859-1",
+    # mislabeled "ascii" pages are latin-1 in practice; ISO-8859-1 is the
+    # total superset decode (US-ASCII would replace every high byte)
+    "us-ascii": "ISO-8859-1", "ascii": "ISO-8859-1",
+    "utf-16": "UTF-16", "utf-16be": "UTF-16BE", "utf-16le": "UTF-16LE",
+}
+
+
+def detect_charset_expr(payload: Column) -> Column:
+    """binary payload -> lowercase charset label: BOM first (WHATWG
+    precedence), then a <meta charset=...> / http-equiv declaration sniffed
+    from the first CHARSET_SNIFF_BYTES (decoded latin-1 — total, never
+    fails), else the utf-8 default. Pure JVM expressions."""
+    head = F.decode(F.substring(payload, 1, CHARSET_SNIFF_BYTES), "ISO-8859-1")
+    meta = F.lower(F.regexp_extract(head, _META_CHARSET, 1))
+    return (
+        F.when(F.substring(payload, 1, 3) == F.lit(b"\xef\xbb\xbf"), "utf-8")
+        .when(F.substring(payload, 1, 2) == F.lit(b"\xfe\xff"), "utf-16be")
+        .when(F.substring(payload, 1, 2) == F.lit(b"\xff\xfe"), "utf-16le")
+        .when(meta != "", meta)
+        .otherwise("utf-8")
+    )
+
+
+def decode_html_expr(payload: Column) -> Column:
+    """Charset-aware payload decode: detected label -> the matching JVM
+    decode (UTF-16 BOMs route through Java's BOM-consuming 'UTF-16'
+    charset), leading U+FEFF stripped, unknown labels -> UTF-8 with
+    replacement. The whole chain is whole-stage-codegen CASE/decode
+    expressions — no Python, so it composes with extract_any's fused
+    single-scan plan."""
+    label = detect_charset_expr(payload)
+    decoded = F.decode(payload, "UTF-8")
+    for lab, charset in _CHARSET_MAP.items():
+        jvm = "UTF-16" if charset in ("UTF-16BE", "UTF-16LE") else charset
+        decoded = F.when(label == lab, F.decode(payload, jvm)).otherwise(decoded)
+    return F.regexp_replace(decoded, "^\\uFEFF", "")
+
+
 def html_escape_expr(text: Column) -> Column:
     """Inverse of the entity decode (for building synthetic pages whose
     extraction round-trips exactly): & first, then < and >, then quotes as

@@ -234,7 +234,10 @@ def extract_any(
     ``substring(html, ..)`` predicate cannot push down into parquet. Captured
     plan in PLANS.md §7; tests assert the single Scan node."""
     from tesseract_wasm_spark import drf  # noqa: PLC0415
-    from tesseract_wasm_spark.datapipe.webtext import main_content_expr  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        decode_html_expr,
+        main_content_expr,
+    )
 
     if variables is not None:
         from tesseract_wasm_spark.config import VariableStore  # noqa: PLC0415
@@ -262,8 +265,10 @@ def extract_any(
         "url",
         kind.alias("kind"),
         # html extraction happens HERE, inside whole-stage codegen; the map
-        # stage below only passes the result through
-        F.when(kind == "html", main_content_expr(payload.cast("string")))
+        # stage below only passes the result through. decode_html_expr makes
+        # the payload decode charset-aware (BOM / <meta charset> sniff)
+        # before the strip — still pure expressions, same single scan
+        F.when(kind == "html", main_content_expr(decode_html_expr(payload)))
         .alias("expr_text"),
         # recognized-but-undecodable image containers: same error contract as
         # datapipe.multimodal.media_metadata (decoders aren't shippable here)

@@ -1211,6 +1211,70 @@ def warc_extract(spark, sf_dir):
     )
 
 
+def html_charset(spark, sf_dir):
+    """Charset-aware payload decode (webtext.decode_html_expr): each
+    document's page is ENCODED per doc_id%3 — UTF-8 with BOM, ISO-8859-1
+    declared via <meta charset>, or UTF-16 (Java emits BE+BOM) — with
+    non-ASCII content planted, then detected + decoded + extracted, all in
+    whole-stage codegen. The oracle knows nothing about bytes: it derives
+    the expected label from the same doc_id arithmetic and the main text
+    from the documents table directly, so any mis-detection or mojibake in
+    the encode->sniff->decode round trip goes hash-red."""
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        decode_html_expr,
+        detect_charset_expr,
+        html_escape_expr,
+        main_content_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    accent = " caf\xe9 d\xe9j\xe0 vu"
+    meta = F.when(F.col("doc_id") % 3 == 1,
+                  '<meta charset="iso-8859-1">').otherwise("")
+    page = F.concat(
+        F.lit("<html><head>"), meta, F.lit("<title>d</title></head><body>"
+        "<article><p>"),
+        html_escape_expr(F.col("text")),
+        F.lit(f"{accent}</p></article>"
+              "<footer>2024 example corp</footer></body></html>"),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(page, "UTF-8")))
+        .when(F.col("doc_id") % 3 == 1, F.encode(page, "ISO-8859-1"))
+        .otherwise(F.encode(page, "UTF-16"))  # Java UTF-16: BE with BOM
+    )
+    built = docs.select("doc_id", payload.alias("payload"))
+    return built.select(
+        "doc_id",
+        detect_charset_expr(F.col("payload")).alias("charset"),
+        main_content_expr(decode_html_expr(F.col("payload"))).alias("main_text"),
+    )
+
+
+def _sql_html_charset() -> str:
+    accent = " caf\xe9 d\xe9j\xe0 vu"
+    page = (
+        "'<html><head><title>d</title></head><body><article><p>' || "
+        "replace(replace(regexp_replace(regexp_replace(regexp_replace(text, "
+        "'&', '&amp;', 'g'), "
+        "'<', '&lt;', 'g'), '>', '&gt;', 'g'), '\"', '&#34;'), chr(39), '&#x27;') || "
+        f"'{accent}</p></article>"
+        "<footer>2024 example corp</footer></body></html>'"
+    )
+    return f"""
+WITH pages AS (SELECT doc_id, {page} AS h FROM documents)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'utf-8'
+            WHEN 1 THEN 'iso-8859-1' ELSE 'utf-16be' END AS charset,
+       {_sql_main_text_over('h')} AS main_text
+FROM pages
+"""
+
+
+SQL_HTML_CHARSET = _sql_html_charset()
+
+
 _SQL_WARC_ESC = (
     "replace(replace(regexp_replace(regexp_replace(regexp_replace(text, "
     "'&', '&amp;', 'g'), "
@@ -1861,6 +1925,7 @@ REGISTRY: dict[str, tuple] = {
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
+    "html_charset": (html_charset, SQL_HTML_CHARSET),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

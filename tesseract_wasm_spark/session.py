@@ -44,6 +44,10 @@ def get_spark(
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # decode() must be TOTAL over arbitrary crawl bytes: replacement
+        # (java.nio REPLACE, U+FFFD) instead of MALFORMED_CHARACTER_CODING
+        # throws — one undecodable payload cannot kill a 10^12-row job
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

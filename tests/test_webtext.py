@@ -285,3 +285,46 @@ def test_nested_depth_beyond_passes_degrades_gracefully(spark):
     # outermost level has no pass left, so its own text ('a g') leaks as a
     # block — the documented degradation, identical in the twin
     assert _extract_one(spark, html) == "a g\nreal text"
+
+
+def test_charset_aware_decode(spark):
+    """Real crawls are not all UTF-8: BOMs and <meta charset> declarations
+    route the payload through the right decode before extraction — inside
+    the same fused single-scan plan (pure expressions, no Python)."""
+    from tesseract_wasm_spark.pipeline import extract_any
+
+    body = "<body><article><p>caf\xe9 r\xe9sum\xe9 d\xe9j\xe0 vu</p></article></body></html>"
+    meta_page = ('<html><head><meta charset="iso-8859-1"><title>t</title></head>'
+                 + body)
+    plain_page = "<html><head><title>t</title></head>" + body
+    rows = [
+        ("u-latin1", bytearray(meta_page.encode("iso-8859-1"))),
+        ("u-utf8bom", bytearray(b"\xef\xbb\xbf" + plain_page.encode("utf-8"))),
+        ("u-utf16", bytearray(plain_page.encode("utf-16"))),  # LE + BOM
+        ("u-utf8", bytearray(plain_page.encode("utf-8"))),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in extract_any(pages).collect()}
+    for url, r in out.items():
+        assert r["kind"] == "html" and r["error"] is None, url
+        assert r["text_out"] == "caf\xe9 r\xe9sum\xe9 d\xe9j\xe0 vu", url
+
+
+def test_detect_charset_expr(spark):
+    from tesseract_wasm_spark.datapipe.webtext import detect_charset_expr
+
+    rows = [
+        ("bom8", bytearray(b"\xef\xbb\xbf<html>x")),
+        ("bom16be", bytearray("<html>".encode("utf-16-be"))),
+        ("meta", bytearray(b'<html><head><meta charset="Windows-1252"></head>')),
+        ("metaeq", bytearray(b"<html><meta http-equiv=Content-Type "
+                             b"content=\"text/html; charset=utf-8\">")),
+        ("none", bytearray(b"<html><body>plain</body></html>")),
+    ]
+    # a 16be-encoded page has no BOM unless written; prepend one explicitly
+    rows[1] = ("bom16be", bytearray(b"\xfe\xff" + "<html>".encode("utf-16-be")))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r["cs"] for r in df.select(
+        "url", detect_charset_expr(F.col("html")).alias("cs")).collect()}
+    assert got == {"bom8": "utf-8", "bom16be": "utf-16be",
+                   "meta": "windows-1252", "metaeq": "utf-8", "none": "utf-8"}
