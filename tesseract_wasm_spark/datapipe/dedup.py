@@ -740,3 +740,55 @@ def simhash_near_duplicates(docs: DataFrame, *, max_hamming: int = 3,
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs
+
+
+def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Corpus-wide LINE-level exact dedup — the C4/MassiveText recipe that
+    kills repeated boilerplate lines (cookie banners, newsletter prompts,
+    license headers) which document-level dedup never sees: every line keeps
+    only its globally FIRST occurrence (ordered by (doc, position)); all
+    later copies across the whole corpus are dropped, then each document is
+    reassembled from its surviving lines in order.
+
+    Scale shape: posexplode -> ONE shuffle keyed on the line's 128-bit md5
+    (uniform, skew-free — the boilerplate line that appears 10^9 times hashes
+    to one key but its group reduces to a single min, a map-side-combinable
+    aggregate, NOT a collected bucket) -> broadcast-or-shuffle join back on
+    (line_hash, doc, pos) -> per-doc sort_array rebuild. The line text
+    itself crosses the wire once (in the rebuild path); the dedup decision
+    rides the 16-byte digest.
+
+    Returns (id, text, n_lines, n_kept) — text rebuilt from kept lines
+    (possibly empty when every line was seen earlier)."""
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    ).withColumn("line_hash", F.md5("line"))
+    firsts = lines.groupBy("line_hash").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+    ).select(
+        "line_hash",
+        F.col(f"_first.{id_col}").alias("_fid"), F.col("_first.pos").alias("_fpos"),
+    )
+    kept = lines.join(firsts, "line_hash").withColumn(
+        "_keep", (F.col(id_col) == F.col("_fid")) & (F.col("pos") == F.col("_fpos"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "line")).alias("s")
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_lines", F.col("n_kept").cast("int").alias("n_kept"))
+    )

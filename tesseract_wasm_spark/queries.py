@@ -1211,6 +1211,45 @@ def warc_extract(spark, sf_dir):
     )
 
 
+_LD_FOOTER = "subscribe to our newsletter for daily updates"
+
+
+def text_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup (dedup.line_dedup — the C4/MassiveText
+    boilerplate killer): every document gets its own (unique) text line plus
+    a footer line shared by ALL docs and a promo line shared by its
+    doc_id%10 class; dedup must keep each repeated line ONLY at its globally
+    first (doc, position) occurrence and rebuild the texts. The oracle
+    derives the survivors analytically (doc_id 0 keeps the footer, each
+    class minimum — doc_id < 10 — keeps its promo), so both the dedup
+    decision and the reassembly order are checked."""
+    from tesseract_wasm_spark.datapipe.dedup import line_dedup  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    promo = F.concat(F.lit("limited promo code "),
+                     (F.col("doc_id") % 10).cast("string"), F.lit(" save now"))
+    built = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit(_LD_FOOTER), promo).alias("text"),
+    )
+    return line_dedup(built)
+
+
+SQL_TEXT_LINE_DEDUP = f"""
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id = 0 THEN chr(10) || '{_LD_FOOTER}' ELSE '' END
+       || CASE WHEN doc_id < 10
+               THEN chr(10) || 'limited promo code '
+                    || CAST(doc_id % 10 AS VARCHAR) || ' save now'
+               ELSE '' END AS text,
+       CAST(3 AS BIGINT) AS n_lines,
+       CAST(1 + CASE WHEN doc_id = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id < 10 THEN 1 ELSE 0 END AS INT) AS n_kept
+FROM documents
+"""
+
+
 def html_charset(spark, sf_dir):
     """Charset-aware payload decode (webtext.decode_html_expr): each
     document's page is ENCODED per doc_id%3 — UTF-8 with BOM, ISO-8859-1
@@ -1926,6 +1965,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     "html_charset": (html_charset, SQL_HTML_CHARSET),
+    "text_line_dedup": (text_line_dedup, SQL_TEXT_LINE_DEDUP),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

@@ -517,3 +517,26 @@ def test_suggest_max_bucket(spark, docs):
     banded2 = dedup.minhash_banded(docs.unionByName(empties))
     cap2 = dedup.suggest_max_bucket(banded2, ["band_id", "bucket"])
     assert cap2 < 200  # the 200-doc degenerate bucket gets dropped by cap2
+
+
+def test_line_dedup(spark):
+    """C4/MassiveText-style line-level dedup: repeated lines survive only at
+    their globally first (doc, pos) occurrence; documents reassemble in
+    order, possibly to empty."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nshared footer line\npromo line"),
+            (2, "unique beta\nshared footer line"),
+            (3, "shared footer line\npromo line"),  # nothing unique survives
+            (4, "promo line\nunique delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1]["text"] == "unique alpha\nshared footer line\npromo line"
+    assert out[2]["text"] == "unique beta"
+    assert out[3]["text"] == ""
+    assert out[4]["text"] == "unique delta"
+    assert [(out[i]["n_lines"], out[i]["n_kept"]) for i in (1, 2, 3, 4)] == [
+        (3, 3), (2, 1), (2, 0), (2, 1)
+    ]
