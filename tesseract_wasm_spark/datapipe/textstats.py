@@ -293,3 +293,44 @@ def contamination_flags(docs: DataFrame, benchmark_doc_ids: list[int],
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def repetition_stats(docs: DataFrame, *, flag_2gram: float = 0.2,
+                     flag_3gram: float = 0.18,
+                     flag_line: float = 0.3) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText quality
+    rules that catch keyword-stuffed and template-generated pages: fraction
+    of duplicate word {2,3}-grams (1 - distinct/total occurrences) and
+    fraction of duplicate lines, plus the combined ``repetitive`` flag at
+    the classic thresholds. Pure array expressions (split + transform +
+    array_distinct), whole-stage JVM end to end — a single-pass map at any
+    scale; thresholds are arguments so a pipeline can tune per source."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), WS_RE)
+
+    def dup_frac(n: int):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array())
+        total = F.size(grams)
+        return F.round(
+            F.when(total > 0,
+                   (total - F.size(F.array_distinct(grams))).cast("double") / total)
+            .otherwise(F.lit(0.0)), 6)
+
+    lines = F.split(F.col("text"), "\n")
+    dup_line = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+        / F.greatest(F.size(lines), F.lit(1)), 6)
+    d2, d3 = dup_frac(2), dup_frac(3)
+    return docs.select(
+        "doc_id",
+        d2.alias("dup_2gram_frac"),
+        d3.alias("dup_3gram_frac"),
+        dup_line.alias("dup_line_frac"),
+        ((d2 > flag_2gram) | (d3 > flag_3gram) | (dup_line > flag_line))
+        .alias("repetitive"),
+    )

@@ -1211,6 +1211,50 @@ def warc_extract(spark, sf_dir):
     )
 
 
+def text_repetition(spark, sf_dir):
+    """Within-document repetition quality signals (textstats.repetition_stats
+    — the Gopher/MassiveText rules): duplicate {2,3}-gram fractions +
+    duplicate-line fraction + the combined flag, re-derived n-gram-for-
+    n-gram by the DuckDB oracle over the same corpus."""
+    from tesseract_wasm_spark.datapipe.textstats import repetition_stats  # noqa: PLC0415
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_repetition() -> str:
+    def grams(n: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]"
+                                   for k in range(n))
+        return (f"CASE WHEN len(toks) >= {n} THEN "
+                f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+                f"i -> {parts}) ELSE [] END")
+
+    def dup(col: str) -> str:
+        return (f"round(CASE WHEN len({col}) > 0 THEN "
+                f"CAST(len({col}) - len(list_distinct({col})) AS DOUBLE) / len({col}) "
+                f"ELSE CAST(0.0 AS DOUBLE) END, 6)")
+
+    dl = ("round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) "
+          "/ greatest(len(lines), 1), 6)")
+    return rf"""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+g AS (SELECT doc_id, {grams(2)} AS g2, {grams(3)} AS g3, lines FROM t),
+d AS (SELECT doc_id, {dup('g2')} AS dup_2gram_frac, {dup('g3')} AS dup_3gram_frac,
+             {dl} AS dup_line_frac
+      FROM g)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac, dup_line_frac,
+       (dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR dup_line_frac > 0.3)
+         AS repetitive
+FROM d
+"""
+
+
+SQL_TEXT_REPETITION = _sql_text_repetition()
+
+
 _LD_FOOTER = "subscribe to our newsletter for daily updates"
 
 
@@ -1966,6 +2010,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     "html_charset": (html_charset, SQL_HTML_CHARSET),
     "text_line_dedup": (text_line_dedup, SQL_TEXT_LINE_DEDUP),
+    "text_repetition": (text_repetition, SQL_TEXT_REPETITION),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

@@ -540,3 +540,22 @@ def test_line_dedup(spark):
     assert [(out[i]["n_lines"], out[i]["n_kept"]) for i in (1, 2, 3, 4)] == [
         (3, 3), (2, 1), (2, 0), (2, 1)
     ]
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition flags: a keyword-stuffed doc flags, normal
+    prose does not; edge cases (single word, no newlines) stay total."""
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap pills buy cheap pills buy cheap pills buy cheap pills"),
+            (2, "the quick brown fox jumps over one lazy dog near a quiet river"),
+            (3, "word"),
+            (4, "same line\nsame line\nsame line\nunique line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert got[1]["repetitive"] and got[1]["dup_2gram_frac"] > 0.7
+    assert not got[2]["repetitive"] and got[2]["dup_3gram_frac"] == 0.0
+    assert got[3]["dup_2gram_frac"] == 0.0 and not got[3]["repetitive"]
+    assert got[4]["dup_line_frac"] == 0.5 and got[4]["repetitive"]
