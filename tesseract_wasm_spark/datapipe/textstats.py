@@ -334,3 +334,48 @@ def repetition_stats(docs: DataFrame, *, flag_2gram: float = 0.2,
         ((d2 > flag_2gram) | (d3 > flag_3gram) | (dup_line > flag_line))
         .alias("repetitive"),
     )
+
+
+def gopher_rules(docs: DataFrame, *, min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 min_alpha_frac: float = 0.8, max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule bundle beyond the
+    composite score: word count band, mean word length band, fraction of
+    words containing an alphabetic character, symbol-to-word ratio (# and
+    ellipses), bullet-started and ellipsis-ended line fractions — each as a
+    column plus the combined ``keep`` verdict. Single-pass JVM expressions;
+    every threshold is an argument (pipelines tune these per source)."""
+    toks = F.split(F.trim(F.col("text")), WS_RE)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("double") / safe_words, 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words.cast("double") / safe_words, 6)
+    symbols = _count_matches(F.col("text"), r"#|\.\.\.|…")
+    symbol_ratio = F.round(symbols.cast("double") / safe_words, 6)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*([-*•]|\d+[.)])\s")))
+        .cast("double") / n_lines, 6)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+        .cast("double") / n_lines, 6)
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+    )
+    return docs.select(
+        "doc_id", n_words.alias("n_words"), mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"), symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"), keep.alias("keep"),
+    )

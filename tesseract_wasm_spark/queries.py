@@ -1211,6 +1211,49 @@ def warc_extract(spark, sf_dir):
     )
 
 
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher/MassiveText document-quality rule bundle
+    (textstats.gopher_rules): word-count band, mean word length, alphabetic
+    word fraction, symbol ratio, bullet/ellipsis line fractions + combined
+    keep verdict — every rule re-computed independently by the DuckDB
+    oracle."""
+    from tesseract_wasm_spark.datapipe.textstats import gopher_rules  # noqa: PLC0415
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_GOPHER = r"""
+WITH t AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+c AS (SELECT doc_id,
+        len(toks) AS n_words,
+        round(CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                   AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len,
+        round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   AS DOUBLE) / greatest(len(toks), 1), 6) AS alpha_word_frac,
+        round(CAST(coalesce(len(regexp_extract_all(text, '#|\.\.\.|…')), 0)
+                   AS DOUBLE) / greatest(len(toks), 1), 6) AS symbol_ratio,
+        round(CAST(len(list_filter(lines,
+                   ln -> regexp_matches(ln, '^\s*([-*•]|\d+[.)])\s')))
+                   AS DOUBLE) / greatest(len(lines), 1), 6) AS bullet_line_frac,
+        round(CAST(len(list_filter(lines,
+                   ln -> regexp_matches(ln, '(\.\.\.|…)\s*$')))
+                   AS DOUBLE) / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+      FROM t)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+       bullet_line_frac, ellipsis_line_frac,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_word_frac >= 0.8
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3) AS keep
+FROM c
+"""
+
+
 def text_repetition(spark, sf_dir):
     """Within-document repetition quality signals (textstats.repetition_stats
     — the Gopher/MassiveText rules): duplicate {2,3}-gram fractions +
@@ -2011,6 +2054,7 @@ REGISTRY: dict[str, tuple] = {
     "html_charset": (html_charset, SQL_HTML_CHARSET),
     "text_line_dedup": (text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "text_repetition": (text_repetition, SQL_TEXT_REPETITION),
+    "text_gopher_rules": (text_gopher_rules, SQL_TEXT_GOPHER),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

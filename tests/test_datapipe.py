@@ -559,3 +559,29 @@ def test_repetition_stats(spark):
     assert not got[2]["repetitive"] and got[2]["dup_3gram_frac"] == 0.0
     assert got[3]["dup_2gram_frac"] == 0.0 and not got[3]["repetitive"]
     assert got[4]["dup_line_frac"] == 0.5 and got[4]["repetitive"]
+
+
+def test_gopher_rules(spark):
+    """Each Gopher rule fires on its designed failure shape; healthy prose
+    passes every rule."""
+    healthy = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the river"] * 6
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, healthy),
+            (2, "too short"),
+            (3, " ".join(["9999999999999"] * 60)),            # long non-alpha words
+            (4, " ".join(["see ### more ###"] * 20)),          # symbol soup
+            (5, "\n".join(["- bullet item one two three"] * 10)),
+            (6, "\n".join(["trailing thought..."] * 10) + "\nplain"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.gopher_rules(docs).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["keep"] and got[2]["n_words"] == 2
+    assert not got[3]["keep"] and got[3]["alpha_word_frac"] == 0.0
+    assert not got[4]["keep"] and got[4]["symbol_ratio"] > 0.1
+    assert not got[5]["keep"] and got[5]["bullet_line_frac"] == 1.0
+    assert not got[6]["keep"] and got[6]["ellipsis_line_frac"] > 0.3
