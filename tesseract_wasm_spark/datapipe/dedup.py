@@ -792,3 +792,31 @@ def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
         )
         .select(id_col, text_col, "n_lines", F.col("n_kept").cast("int").alias("n_kept"))
     )
+
+
+def cluster_keepers(clusters: DataFrame, meta: DataFrame, *, order_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keeper-selection POLICY over resolved dup clusters: real pipelines
+    rarely keep the min-id copy — they keep the newest crawl snapshot or the
+    highest-quality rendition. Picks, per cluster, the row maximizing
+    ``order_col`` (ties -> smallest id, deterministic).
+
+    Scale shape: one groupBy(cluster_id) computing max(struct(order, -id))
+    — a map-side-combinable aggregate, NOT a window sort, so a pathological
+    10^6-member cluster reduces without materializing/sorting its rows in
+    one task — then a hash join back on cluster_id."""
+    joined = clusters.select(id_col, "cluster_id").join(
+        meta.select(id_col, order_col), id_col
+    )
+    best = joined.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col(order_col).alias("o"),
+                       (-F.col(id_col)).alias("negid"))).alias("_b")
+    )
+    return (
+        joined.join(best, "cluster_id")
+        .select(
+            id_col, "cluster_id", order_col,
+            ((F.col(order_col) == F.col("_b.o"))
+             & (F.col(id_col) == -F.col("_b.negid"))).alias("is_keeper"),
+        )
+    )

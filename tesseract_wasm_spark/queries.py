@@ -442,6 +442,56 @@ FROM documents d
 """
 
 
+def dedup_keep_newest(spark, sf_dir):
+    """Keeper-selection policy over the same verified dup clusters
+    (dedup.cluster_keepers): keep the NEWEST crawl snapshot per cluster —
+    crawl recency synthesized deterministically as (doc_id*37)%1000, which
+    decorrelates it from the min-id convention — ties to the smallest id.
+    The oracle re-derives clusters via the recursive-CTE transitive closure
+    AND the policy via a window, independently of the Spark aggregate
+    formulation."""
+    from tesseract_wasm_spark.datapipe.dedup import (  # noqa: PLC0415
+        cluster_keepers,
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, block_col="source")
+    clusters = duplicate_clusters(pairs, docs)
+    meta = docs.select(
+        "doc_id", ((F.col("doc_id") * 37) % 1000).alias("crawl_rank")
+    )
+    return cluster_keepers(clusters, meta, order_col="crawl_rank")
+
+
+SQL_DEDUP_KEEP_NEWEST = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id,
+               coalesce((SELECT min(dst) FROM reach WHERE src = d.doc_id),
+                        d.doc_id)) AS cluster_id,
+         (d.doc_id * 37) % 1000 AS crawl_rank
+  FROM documents d
+)
+SELECT doc_id, cluster_id, crawl_rank,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY crawl_rank DESC, doc_id) = 1 AS is_keeper
+FROM comp
+"""
+
+
 def sample_domain_cap(spark, sf_dir):
     """Per-source quality cap — the 'at most K documents per domain, best
     first' sampling stage of a crawl pipeline: quality composite x window
@@ -2055,6 +2105,7 @@ REGISTRY: dict[str, tuple] = {
     "text_line_dedup": (text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "text_repetition": (text_repetition, SQL_TEXT_REPETITION),
     "text_gopher_rules": (text_gopher_rules, SQL_TEXT_GOPHER),
+    "dedup_keep_newest": (dedup_keep_newest, SQL_DEDUP_KEEP_NEWEST),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

@@ -585,3 +585,20 @@ def test_gopher_rules(spark):
     assert not got[4]["keep"] and got[4]["symbol_ratio"] > 0.1
     assert not got[5]["keep"] and got[5]["bullet_line_frac"] == 1.0
     assert not got[6]["keep"] and got[6]["ellipsis_line_frac"] > 0.3
+
+
+def test_cluster_keepers_policy(spark, docs):
+    """Keeper policy: newest (max order) wins per cluster; ties go to the
+    smallest id; singleton clusters keep themselves."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, block_col="source")
+    clusters = dedup.duplicate_clusters(pairs, docs)
+    meta = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 5), (6, 20)],
+        "doc_id long, crawl_rank long",
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.cluster_keepers(clusters, meta, order_col="crawl_rank").collect()}
+    # cluster {1,2,3,6}: ranks 10,30,30,20 -> 2 wins (tie 2 vs 3 -> min id)
+    assert got[2]["is_keeper"] and not got[3]["is_keeper"]
+    assert not got[1]["is_keeper"] and not got[6]["is_keeper"]
+    assert got[4]["is_keeper"] and got[5]["is_keeper"]  # singletons
