@@ -379,3 +379,41 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50, max_words: int = 100_0
         bullet_frac.alias("bullet_line_frac"),
         ellipsis_frac.alias("ellipsis_line_frac"), keep.alias("keep"),
     )
+
+
+#: sentence boundary: terminator run followed by whitespace — RE2-safe (no
+#: lookbehind), shared verbatim with the DuckDB twin
+SENTENCE_SPLIT_RE = r"[.!?]+\s+"
+
+
+def sentences(docs: DataFrame) -> DataFrame:
+    """Sentence segmentation: (doc_id, sent_pos, sentence) for every
+    non-empty sentence — the granularity span-level dedup and decontamination
+    run at. Terminator punctuation is dropped with the split (both engines
+    agree); trailing terminators stay on the last sentence only if no
+    whitespace follows. Pure expressions: split + posexplode."""
+    parts = F.split(F.col("text"), SENTENCE_SPLIT_RE)
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("sent_pos", "sentence"))
+        .filter(F.trim(F.col("sentence")) != "")
+    )
+
+
+def mojibake_stats(docs: DataFrame, *, max_bad_frac: float = 0.01) -> DataFrame:
+    """Encoding-health signal over DECODED text: U+FFFD replacement
+    characters (what a wrong-charset decode leaves behind — see
+    webtext.decode_html_expr) and C1/control garbage per document, with a
+    ``clean`` verdict. The downstream filter for charset-detection misses:
+    at 100 TB you don't re-decode — you drop or re-route the tiny bad
+    fraction this flags."""
+    n_chars = F.greatest(F.length(F.col("text")), F.lit(1))
+    repl = _count_matches(F.col("text"), "�")
+    ctrl = _count_matches(F.col("text"), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    bad_frac = F.round((repl + ctrl).cast("double") / n_chars, 6)
+    return docs.select(
+        "doc_id",
+        repl.alias("n_replacement"),
+        ctrl.alias("n_control"),
+        bad_frac.alias("bad_char_frac"),
+        (bad_frac <= max_bad_frac).alias("clean"),
+    )

@@ -1348,6 +1348,79 @@ FROM d
 SQL_TEXT_REPETITION = _sql_text_repetition()
 
 
+def text_sentences(spark, sf_dir):
+    """Sentence segmentation (textstats.sentences) — the span granularity
+    for span-level dedup/decontamination: documents are re-punctuated into
+    8-token sentences (the corpus is unpunctuated word soup), segmented
+    back, and the oracle derives the chunking directly with list_slice —
+    the split regex's round trip is what's under test."""
+    from tesseract_wasm_spark.datapipe.textstats import sentences  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(8)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8)),
+    )
+    built = docs.select("doc_id", F.array_join(chunks, ". ").alias("text"))
+    return sentences(built)
+
+
+SQL_TEXT_SENTENCES = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+        list_transform(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT)),
+          i -> array_to_string(list_slice(toks, (i-1)*8 + 1,
+                                          least(i*8, len(toks))), ' ')) AS chunks
+      FROM t)
+SELECT doc_id,
+       unnest(list_transform(generate_series(1, len(chunks)),
+                             i -> CAST(i - 1 AS INT))) AS sent_pos,
+       unnest(chunks) AS sentence
+FROM c
+"""
+
+
+def text_mojibake(spark, sf_dir):
+    """Encoding-health stats (textstats.mojibake_stats): U+FFFD replacement
+    chars + C0/C1 control garbage are PLANTED deterministically (doc_id%5
+    gets a replacement char, doc_id%7 a BEL) and counted back; the oracle
+    derives the counts and the bad-char fraction ANALYTICALLY from the
+    plant arithmetic — fully independent of the operator's regexes."""
+    from tesseract_wasm_spark.datapipe.textstats import mojibake_stats  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" bad � part"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_stats(built)
+
+
+SQL_TEXT_MOJIBAKE = """
+WITH c AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_replacement,
+                  CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_control,
+                  length(text)
+                  + CASE WHEN doc_id % 5 = 0 THEN 11 ELSE 0 END
+                  + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_chars
+           FROM documents)
+SELECT doc_id, n_replacement, n_control,
+       round(CAST(n_replacement + n_control AS DOUBLE)
+             / greatest(n_chars, 1), 6) AS bad_char_frac,
+       round(CAST(n_replacement + n_control AS DOUBLE)
+             / greatest(n_chars, 1), 6) <= 0.01 AS clean
+FROM c
+"""
+
+
 _LD_FOOTER = "subscribe to our newsletter for daily updates"
 
 
@@ -2106,6 +2179,8 @@ REGISTRY: dict[str, tuple] = {
     "text_repetition": (text_repetition, SQL_TEXT_REPETITION),
     "text_gopher_rules": (text_gopher_rules, SQL_TEXT_GOPHER),
     "dedup_keep_newest": (dedup_keep_newest, SQL_DEDUP_KEEP_NEWEST),
+    "text_sentences": (text_sentences, SQL_TEXT_SENTENCES),
+    "text_mojibake": (text_mojibake, SQL_TEXT_MOJIBAKE),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

@@ -602,3 +602,23 @@ def test_cluster_keepers_policy(spark, docs):
     assert got[2]["is_keeper"] and not got[3]["is_keeper"]
     assert not got[1]["is_keeper"] and not got[6]["is_keeper"]
     assert got[4]["is_keeper"] and got[5]["is_keeper"]  # singletons
+
+
+def test_sentences_and_mojibake(spark):
+    docs = spark.createDataFrame(
+        [(1, "First sentence. Second one! Third?  Fourth with trailing."),
+         (2, "no terminators at all"),
+         (3, "clean text"), (4, "bro�ken te\x07xt")],
+        "doc_id long, text string",
+    )
+    sents = [
+        (r["sent_pos"], r["sentence"]) for r in
+        textstats.sentences(docs).filter("doc_id = 1").orderBy("sent_pos").collect()
+    ]
+    assert sents == [(0, "First sentence"), (1, "Second one"), (2, "Third"),
+                     (3, "Fourth with trailing.")]
+    assert textstats.sentences(docs).filter("doc_id = 2").count() == 1
+    moj = {r["doc_id"]: r for r in textstats.mojibake_stats(docs).collect()}
+    assert moj[3]["clean"] and moj[3]["bad_char_frac"] == 0.0
+    assert not moj[4]["clean"]
+    assert moj[4]["n_replacement"] == 1 and moj[4]["n_control"] == 1
