@@ -1763,6 +1763,39 @@ WHERE NOT (text = '' AND "right" = 0)  -- the OCR-path empty-page quirk row
 """
 
 
+def ocr_confidence_hist(spark, sf_dir):
+    """Corpus-level OCR confidence distribution — the quality dashboard a
+    100 TB extraction run is monitored by (a shifting histogram flags a bad
+    font/model batch long before spot checks do): live-engine word
+    confidences bucketed into deciles with per-bucket counts and the mean.
+    The oracle re-derives the histogram from the words GOLDEN with its own
+    bucket arithmetic (floor x10, clamped) — the engine values are the
+    snapshot, the rollup is derived."""
+    from tesseract_wasm_spark.outputs import words_df  # noqa: PLC0415
+
+    w = words_df(_fixture_results(spark)).filter(F.col("text") != "")
+    bucket = F.least(F.floor(F.col("confidence") * 10).cast("int"), F.lit(9))
+    return (
+        w.groupBy(bucket.alias("conf_decile"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(_dec_sum(F.col("confidence")) / F.count("*"), 6)
+            .alias("mean_conf"),
+        )
+    )
+
+
+SQL_OCR_CONF_HIST = f"""
+SELECT least(CAST(floor(confidence * 10) AS INT), 9) AS conf_decile,
+       count(*) AS n_words,
+       round(CAST(sum(CAST(confidence AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*), 6) AS mean_conf
+FROM read_parquet('{_golden('ocr_words')}')
+WHERE text <> ''
+GROUP BY 1
+"""
+
+
 def ocr_orientation(spark, sf_dir):
     """Live-engine orientation; the oracle re-runs the DECISION TREE in SQL
     (reference src/lib.cpp:264-287: detection fails below score 1.0, up/down
@@ -2188,6 +2221,7 @@ REGISTRY: dict[str, tuple] = {
     "ocr_lines": (ocr_lines, SQL_OCR_LINES),
     "ocr_layout": (ocr_layout, SQL_OCR_LAYOUT),
     "ocr_orientation": (ocr_orientation, SQL_OCR_ORIENTATION),
+    "ocr_confidence_hist": (ocr_confidence_hist, SQL_OCR_CONF_HIST),
     "ocr_hocr": (ocr_hocr, SQL_OCR_HOCR),
     "ocr_errors": (ocr_errors, SQL_OCR_ERRORS),
     "ocr_text_lstm": (ocr_text_lstm, SQL_OCR_TEXT_LSTM),
