@@ -676,11 +676,16 @@ def html_block_langs(spark, sf_dir):
         F.lit(f"</p><p>{_DE_PARA}</p></article>"
               "<footer>2024 example corp</footer></body></html>"),
     )
-    return docs.select(
+    # explode FIRST, score as plain columns: the per-language regex counts
+    # then run inside whole-stage codegen instead of an interpreted
+    # higher-order lambda (measured ~2x on the sf0.1 corpus)
+    blocks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(_kept_blocks(page), lambda b: block_lang(b["txt"]))
-        ).alias("block_pos", "lang"),
+        F.posexplode(F.transform(_kept_blocks(page), lambda b: b["txt"]))
+        .alias("block_pos", "_txt"),
+    )
+    return blocks.select(
+        "doc_id", "block_pos", block_lang(F.col("_txt")).alias("lang")
     )
 
 
