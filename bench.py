@@ -42,6 +42,9 @@ HEADLINE_QUERIES = [
     # dedup_ngram baseline stays out of the budget deliberately)
     "html_quality_blocks", "text_redact_pii", "text_decontaminate",
     "sample_domain_cap",
+    # round-4 operators (all sub-1.5 s single-pass/groupBy shapes at sf0.1)
+    "text_line_dedup", "text_repetition", "text_gopher_rules",
+    "html_charset", "warc_extract",
 ]
 
 
