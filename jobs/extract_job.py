@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="parquet: a (url, html, ...) pages table (default); "
+                         "warc: a glob of .warc(.gz) crawl archives — "
+                         "ingested at one task per archive (the Common-Crawl "
+                         "grain) into the same pages shape")
     ap.add_argument("--output", required=True, help="output dir (results/ + metrics/)")
     ap.add_argument("--layout-only", action="store_true",
                     help="skip recognition (reference getBoundingBoxes path)")
@@ -51,7 +57,12 @@ def main() -> None:
     from tesseract_wasm_spark.session import get_spark
 
     spark = get_spark("twspark-extract", cores=args.cores)
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from tesseract_wasm_spark.datapipe.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     if args.mode == "mixed":
         summary = run_extract_with_resume(
             spark, pages, args.output, recognizer=args.recognizer,

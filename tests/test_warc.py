@@ -79,3 +79,27 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["kind"] == "html" and out[0]["error"] is None
     assert out[0]["text_out"] == "warc to text pipeline works"
+
+
+def test_extract_job_warc_input(spark, tmp_path):
+    """spark-submit deployment path: --input-format warc ingests archives
+    straight into the resume-aware mixed extraction job."""
+    import json
+    import subprocess
+    import sys
+
+    page = (b"<html><head><title>t</title></head><body>"
+            b"<article><p>cli warc ingestion works</p></article></body></html>")
+    (tmp_path / "a.warc.gz").write_bytes(
+        make_warc([("https://t.test/cli", "2024-03-01T00:00:00Z", page)])
+    )
+    out = subprocess.run(
+        [sys.executable, "jobs/extract_job.py",
+         "--input", str(tmp_path / "*.warc.gz"), "--input-format", "warc",
+         "--mode", "mixed", "--output", str(tmp_path / "out"), "--cores", "2"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    summary = json.loads(out.stderr.strip().splitlines()[-1])
+    assert summary["pages"] == 1 and summary["errors"] == 0
+    got = spark.read.parquet(str(tmp_path / "out" / "extracted")).collect()
+    assert got[0]["text_out"] == "cli warc ingestion works"
