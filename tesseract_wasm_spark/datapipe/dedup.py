@@ -759,6 +759,14 @@ def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     itself crosses the wire once (in the rebuild path); the dedup decision
     rides the 16-byte digest.
 
+    Plan trade, made deliberately: the source is scanned twice (the exploded
+    lines feed both the first-occurrence aggregate and the join-back) in
+    exchange for NO window sort — the alternative single-scan
+    row_number()-over-(line_hash) plan materializes and sorts a boilerplate
+    line's entire 10^9-copy group inside one task. Two cheap scans beat one
+    skewed sort at crawl scale; a pipeline that already persists the
+    exploded lines reclaims the second scan for free.
+
     Returns (id, text, n_lines, n_kept) — text rebuilt from kept lines
     (possibly empty when every line was seen earlier)."""
     lines = docs.select(
