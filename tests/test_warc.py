@@ -103,3 +103,31 @@ def test_extract_job_warc_input(spark, tmp_path):
     assert summary["pages"] == 1 and summary["errors"] == 0
     got = spark.read.parquet(str(tmp_path / "out" / "extracted")).collect()
     assert got[0]["text_out"] == "cli warc ingestion works"
+
+
+def test_warc_round_trip_property():
+    """Property: ANY payload bytes — including embedded 'WARC/1.0' markers,
+    CRLF-CRLF separators, and gzip magic — round-trip through build+parse
+    (the Content-Length walk must never re-sync inside a body)."""
+    from hypothesis import given, settings, strategies as st
+
+    adversarial = st.sampled_from([
+        b"WARC/1.0\r\n", b"\r\n\r\n", b"\x1f\x8b\x08", b"endstream",
+        b"Content-Length: 0\r\n", b"",
+    ])
+    chunk = st.one_of(st.binary(max_size=24), adversarial)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.lists(chunk, max_size=6).map(b"".join),
+                    min_size=1, max_size=4),
+           st.booleans())
+    def check(payloads, compress):
+        recs = [(f"https://p.test/{i}", "2024-01-01T00:00:00Z", p)
+                for i, p in enumerate(payloads)]
+        rows, n_bad = parse_warc_bytes(make_warc(recs, compress=compress))
+        assert n_bad == 0
+        assert [(r["url"], r["html"]) for r in rows] == [
+            (u, p) for u, _, p in recs
+        ]
+
+    check()
