@@ -328,3 +328,45 @@ def test_detect_charset_expr(spark):
         "url", detect_charset_expr(F.col("html")).alias("cs")).collect()}
     assert got == {"bom8": "utf-8", "bom16be": "utf-16be",
                    "meta": "windows-1252", "metaeq": "utf-8", "none": "utf-8"}
+
+
+def test_charset_round_trip_property(spark):
+    """Property: a page built in any supported charset (BOM or meta-declared,
+    case/spacing/quote variations) decodes back to its exact text through
+    detect+decode — driven as ONE Spark job over the generated corpus."""
+    from hypothesis import given, settings, strategies as st
+
+    from tesseract_wasm_spark.datapipe.webtext import decode_html_expr
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                                          exclude_characters='<>&"'),
+                   min_size=1, max_size=40).map(str.strip).filter(bool),
+           st.sampled_from(["utf-8", "iso-8859-1", "windows-1252", "utf-16"]),
+           st.sampled_from(['charset="{}"', "charset={}", "charset = '{}'",
+                            'http-equiv="Content-Type" content="text/html; charset={}"']),
+           st.booleans())
+    def gen(text, label, meta_fmt, upper):
+        label_out = label.upper() if upper else label
+        meta = f"<meta {meta_fmt.format(label_out)}>"
+        page = f"<html><head>{meta}</head><body><p>{text}</p></body></html>"
+        enc = "cp1252" if label == "windows-1252" else label
+        try:
+            raw = page.encode(enc)
+        except UnicodeEncodeError:
+            return  # char not in target charset: not a valid page for it
+        if label == "utf-16":  # BOM wins over meta, like browsers
+            pass
+        cases.append((len(cases), bytearray(raw), text))
+
+    gen()
+    assert cases, "hypothesis generated no cases"
+    df = spark.createDataFrame(cases, "i long, html binary, expected string")
+    bad = (
+        df.select("i", "expected", decode_html_expr(F.col("html")).alias("d"))
+        .filter(~F.col("d").contains(F.col("expected")))
+        .collect()
+    )
+    assert bad == [], bad[:3]
