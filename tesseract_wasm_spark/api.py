@@ -56,7 +56,16 @@ class OCREngine:
         if not isinstance(model, (bytes, bytearray)) or len(model) == 0:
             raise ValueError(ERR_MODEL_LOAD)
         try:
-            self._lang = parse_model(model)
+            if bytes(model[:5]) == b"TWSM2":
+                # trained-weight blob: registers the LSTM tensors for this
+                # process — the lstm recognizer then runs from the blob
+                from tesseract_wasm_spark.engine.lstm_ctc import (  # noqa: PLC0415
+                    load_lstm_model,
+                )
+
+                self._lang = load_lstm_model(model)
+            else:
+                self._lang = parse_model(model)
         except ValueError as exc:
             raise ValueError(ERR_MODEL_LOAD) from exc
         self._model_loaded = True

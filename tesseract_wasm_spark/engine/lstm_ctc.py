@@ -80,13 +80,17 @@ class NumpyLSTM:
 
 @lru_cache(maxsize=None)
 def build_recognizer(lang: str = "eng") -> tuple[NumpyLSTM, np.ndarray, np.ndarray, str]:
-    """Construct (lstm, w_out, b_out, chars).
+    """Construct (lstm, w_out, b_out, chars) — or return the weights a
+    TWSM2 blob registered for this language (load_lstm_model), the
+    trained-weight path.
 
     Hidden layout: 5 blocks of CELL_H units; block 0 mirrors the current
     column, block j the column j steps back. Shift register via saturated
     gates: i=1, f=0, o=1; g(block 0) = tanh(BIG * x_t), g(block j) =
     tanh(BIG * h[block j-1]).
     """
+    if lang in _LOADED_MODELS:
+        return _LOADED_MODELS[lang]
     d_in = CELL_H
     hidden = CELL_H * CELL_W  # 55
     w_x = np.zeros((d_in, 4 * hidden))
@@ -312,3 +316,75 @@ def recognize_page_lstm(mask: np.ndarray, lines: list[Line], **kw) -> str:
     with a newline). One batched recurrence for the whole page."""
     scored = recognize_page_lstm_scored(mask, lines, **kw)
     return "".join(" ".join(t for t, _ in words) + "\n" for words in scored)
+
+
+# --- weight blob (the trained-.traineddata shape) ---------------------------
+#
+# TWSM1 (font.export_model) carries model IDENTITY — the template weights are
+# a pure function of (lang). TWSM2 carries the ACTUAL LSTM tensors, the shape
+# a genuinely trained model ships in: load it and recognition runs from the
+# blob's weights, not from anything reconstructed in-process (tamper test
+# pins this). Layout: magic | sha256(body) | body, body = meta-length(4BE) |
+# meta json {lang, chars} | npz(w_x, w_h, b, w_out, b_out). At cluster scale
+# the blob is a broadcast variable registered per worker (load_lstm_model in
+# the UDF); per-process cache below.
+
+LSTM_MODEL_MAGIC = b"TWSM2"
+
+_LOADED_MODELS: dict[str, tuple] = {}
+
+
+def _pack_lstm_model(lang: str, chars: str, w_x, w_h, b, w_out, b_out) -> bytes:
+    import hashlib
+    import io
+    import json
+
+    buf = io.BytesIO()
+    np.savez(buf, w_x=w_x, w_h=w_h, b=b, w_out=w_out, b_out=b_out)
+    meta = json.dumps({"lang": lang, "chars": chars}).encode("utf-8")
+    body = len(meta).to_bytes(4, "big") + meta + buf.getvalue()
+    return LSTM_MODEL_MAGIC + hashlib.sha256(body).digest() + body
+
+
+def export_lstm_model(lang: str = "eng") -> bytes:
+    """Serialize the language's full LSTM recognizer (weights + output layer
+    + charset) as a validated blob."""
+    lstm, w_out, b_out, chars = build_recognizer(lang)
+    return _pack_lstm_model(lang, chars, lstm.w_x, lstm.w_h, lstm.b, w_out, b_out)
+
+
+def parse_lstm_model(blob: bytes) -> tuple[str, tuple]:
+    """Validate a TWSM2 blob -> (lang, (NumpyLSTM, w_out, b_out, chars));
+    raises ValueError on any malformed/corrupt/truncated input."""
+    import hashlib
+    import io
+    import json
+
+    blob = bytes(blob)
+    m = len(LSTM_MODEL_MAGIC)
+    if len(blob) < m + 32 or blob[:m] != LSTM_MODEL_MAGIC:
+        raise ValueError("bad lstm model magic")
+    digest, body = blob[m : m + 32], blob[m + 32 :]
+    if hashlib.sha256(body).digest() != digest:
+        raise ValueError("lstm model checksum mismatch")
+    n_meta = int.from_bytes(body[:4], "big")
+    meta = json.loads(body[4 : 4 + n_meta].decode("utf-8"))
+    arrs = np.load(io.BytesIO(body[4 + n_meta :]))
+    lstm = NumpyLSTM(arrs["w_x"], arrs["w_h"], arrs["b"])
+    return meta["lang"], (lstm, arrs["w_out"], arrs["b_out"], meta["chars"])
+
+
+def load_lstm_model(blob: bytes) -> str:
+    """Register a TWSM2 blob for this process: subsequent build_recognizer
+    calls for its language return the BLOB's weights (the lru_cache over the
+    constructed path is invalidated). Returns the lang."""
+    lang, tup = parse_lstm_model(blob)
+    _LOADED_MODELS[lang] = tup
+    build_recognizer.cache_clear()
+    return lang
+
+
+def unload_lstm_models() -> None:
+    """Drop every registered weight blob and return to constructed weights."""
+    _LOADED_MODELS.clear()
+    build_recognizer.cache_clear()

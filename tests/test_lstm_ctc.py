@@ -107,3 +107,72 @@ def test_lstm_full_pageresult_parity():
             wb.left, wb.top, wb.right, wb.bottom, wb.flags, wb.text,
         )
         assert 0.0 < wb.confidence <= 1.0
+
+
+def test_lstm_weight_blob_round_trip_and_tamper():
+    """TWSM2 trained-weight blob: export -> parse returns equal tensors;
+    recognition from a LOADED blob is byte-identical; a (checksum-valid)
+    blob with perturbed output biases CHANGES recognition — proving the
+    decode really runs from the blob's weights — and corrupt/truncated
+    blobs are rejected."""
+    import numpy as np
+    import pytest
+
+    from tesseract_wasm_spark.engine import lstm_ctc as L
+    from tesseract_wasm_spark.engine.page import process_page
+    from tesseract_wasm_spark.raster import render_page_drf
+    from tests.test_lstm_ctc import SMALL_PAGE_LINES  # self-import: constants
+
+    payload = render_page_drf(SMALL_PAGE_LINES[:3])
+    baseline = process_page(payload, recognizer="lstm").page_text
+    assert baseline
+
+    blob = L.export_lstm_model("eng")
+    lang, (lstm, w_out, b_out, chars) = L.parse_lstm_model(blob)
+    ref = L.build_recognizer("eng")
+    assert lang == "eng" and chars == ref[3]
+    np.testing.assert_array_equal(lstm.w_x, ref[0].w_x)
+    np.testing.assert_array_equal(w_out, ref[1])
+    try:
+        assert L.load_lstm_model(blob) == "eng"
+        assert process_page(payload, recognizer="lstm").page_text == baseline
+
+        # tamper legally (repack with a valid checksum): ban the most common
+        # char by output bias -> decode must change if blob weights are used
+        banned = baseline.replace("\n", " ").split(" ")[0][0]
+        b_bad = b_out.copy()
+        b_bad[chars.index(banned)] = -1e30
+        bad_blob = L._pack_lstm_model("eng", chars, lstm.w_x, lstm.w_h,
+                                      lstm.b, w_out, b_bad)
+        L.load_lstm_model(bad_blob)
+        tampered = process_page(payload, recognizer="lstm").page_text
+        assert banned not in tampered and tampered != baseline
+    finally:
+        L.unload_lstm_models()
+    assert process_page(payload, recognizer="lstm").page_text == baseline
+
+    # integrity: one flipped byte in the body -> checksum mismatch
+    corrupt = bytearray(blob)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        L.parse_lstm_model(bytes(corrupt))
+    with pytest.raises(ValueError):
+        L.parse_lstm_model(blob[: len(blob) // 2])
+
+
+def test_load_model_accepts_weight_blob():
+    """OCREngine.loadModel routes TWSM2 blobs through the trained-weight
+    path and still rejects garbage with the reference's message."""
+    import pytest
+
+    from tesseract_wasm_spark.api import ERR_MODEL_LOAD, OCREngine
+    from tesseract_wasm_spark.engine import lstm_ctc as L
+
+    eng = OCREngine()
+    try:
+        eng.loadModel(L.export_lstm_model("deu"))
+        assert eng._lang == "deu"
+    finally:
+        L.unload_lstm_models()
+    with pytest.raises(ValueError, match=ERR_MODEL_LOAD):
+        OCREngine().loadModel(b"TWSM2 garbage after the magic")
