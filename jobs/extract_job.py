@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--recognizer", choices=("template", "lstm"), default="template",
                     help="sequence recognizer: bitpacked template matcher "
                          "(production fast path) or the LSTM+CTC v2 path")
+    ap.add_argument("--model-blob", default=None,
+                    help="path to a TWSM2 trained-weight blob "
+                         "(lstm_ctc.export_lstm_model); shipped to every "
+                         "worker — the cluster form of loadModel")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under a real cluster master)")
@@ -69,6 +73,10 @@ def main() -> None:
             num_partitions=args.partitions,
         )
     else:
+        blob = None
+        if args.model_blob:
+            with open(args.model_blob, "rb") as fh:
+                blob = fh.read()
         summary = run_with_resume(
             spark,
             pages,
@@ -76,6 +84,7 @@ def main() -> None:
             with_text=not args.layout_only,
             recognizer=args.recognizer,
             num_partitions=args.partitions,
+            model_blob=blob,
         )
     print(json.dumps(summary), file=sys.stderr)
     spark.stop()

@@ -107,8 +107,15 @@ def ocr_pages(
     rebalance_strategy: str = "salt",
     num_partitions: int | None = None,
     variables: dict[str, str] | None = None,
+    model_blob: bytes | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text?, lang?) -> one result row per url.
+
+    ``model_blob``: a TWSM2 trained-weight blob (lstm_ctc.export_lstm_model)
+    shipped to every worker through the task closure (Spark broadcasts
+    closure constants once per executor) and registered before the first
+    page — the distributed form of OCREngine.loadModel: with
+    ``recognizer='lstm'`` every page decodes from the BLOB's weights.
 
     ``with_text=False`` is the reference's layout-only cheap path
     (getBoundingBoxes with no model — src/lib.cpp:197-203): recognition is
@@ -134,11 +141,22 @@ def ocr_pages(
     if rebalance:
         src = rebalance_pages(src, num_partitions, strategy=rebalance_strategy)
 
+    if model_blob is not None:
+        # validate driver-side so a bad blob fails the CALL, not 10^4 tasks
+        from tesseract_wasm_spark.engine.lstm_ctc import parse_lstm_model  # noqa: PLC0415
+
+        parse_lstm_model(model_blob)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the worker: keeps the task closure tiny
         from pyspark import TaskContext  # noqa: PLC0415
 
         from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
+
+        if model_blob is not None:
+            from tesseract_wasm_spark.engine.lstm_ctc import load_lstm_model  # noqa: PLC0415
+
+            load_lstm_model(model_blob)  # idempotent per worker process
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1

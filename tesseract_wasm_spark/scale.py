@@ -116,9 +116,12 @@ def run_with_resume(
     with_text: bool = True,
     recognizer: str = "template",
     num_partitions: int | None = None,
+    model_blob: bytes | None = None,
 ) -> dict:
     """Process all pages not yet present in ``{out_dir}/results``; append
-    results + per-partition metrics. Returns a small run summary dict."""
+    results + per-partition metrics. Returns a small run summary dict.
+    ``model_blob``: optional TWSM2 trained-weight blob shipped to workers
+    (see pipeline.ocr_pages)."""
     results_path = f"{out_dir}/results"
     metrics_path = f"{out_dir}/metrics"
     run_id = uuid.uuid4().hex
@@ -143,6 +146,7 @@ def run_with_resume(
         todo = pages.join(done, "url", "left_anti")
 
     res = ocr_pages(todo, with_text=with_text, recognizer=recognizer,
+                    model_blob=model_blob,
                     num_partitions=num_partitions).persist()
     n = res.count()
     if n == 0:

@@ -176,3 +176,38 @@ def test_load_model_accepts_weight_blob():
         L.unload_lstm_models()
     with pytest.raises(ValueError, match=ERR_MODEL_LOAD):
         OCREngine().loadModel(b"TWSM2 garbage after the magic")
+
+
+def test_model_blob_flows_to_workers(spark):
+    """Distributed trained-weight path: ocr_pages(model_blob=...) registers
+    the TWSM2 blob inside every worker process — proven by a tampered blob
+    (one output bias banned) changing the distributed extraction, while the
+    clean blob reproduces the constructed weights byte-identically."""
+    import pytest
+
+    from tesseract_wasm_spark.engine import lstm_ctc as L
+    from tesseract_wasm_spark.fixtures import fixtures_df
+    from tesseract_wasm_spark.pipeline import ocr_pages
+
+    pages = fixtures_df(spark, n_corpus_pages=2).filter(
+        "url LIKE '%page-0000%'"
+    )
+    def texts(**kw):
+        rows = ocr_pages(pages, recognizer="lstm", with_orientation=False, **kw)
+        return {r["url"]: r["page_text"] for r in rows.collect()}
+
+    base = texts()
+    blob = L.export_lstm_model("eng")
+    assert texts(model_blob=blob) == base
+    lang, (lstm, w_out, b_out, chars) = L.parse_lstm_model(blob)
+    banned = "e"
+    b_bad = b_out.copy()
+    b_bad[chars.index(banned)] = -1e30
+    bad = L._pack_lstm_model("eng", chars, lstm.w_x, lstm.w_h, lstm.b,
+                             w_out, b_bad)
+    tampered = texts(model_blob=bad)
+    assert tampered != base
+    assert all(banned not in t for t in tampered.values())
+    # driver-side validation: a corrupt blob fails the CALL, not the tasks
+    with pytest.raises(ValueError):
+        ocr_pages(pages, recognizer="lstm", model_blob=blob[:-3])
