@@ -128,12 +128,18 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
     )
 
 
+def text_digest_expr(txt) -> "F.Column":
+    """Normalized-content digest (lowercase, whitespace-collapsed md5) — the
+    exact-dedup key, shared by exact_duplicates and composed presets."""
+    norm = F.regexp_replace(F.lower(txt), "\\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeper = min
     doc_id, n_dups = group size."""
-    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
     return (
-        docs.select("doc_id", F.md5(norm.cast("binary")).alias("text_md5"))
+        docs.select("doc_id", text_digest_expr(F.col("text")).alias("text_md5"))
         .groupBy("text_md5")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
     )

@@ -295,17 +295,12 @@ def contamination_flags(docs: DataFrame, benchmark_doc_ids: list[int],
     )
 
 
-def repetition_stats(docs: DataFrame, *, flag_2gram: float = 0.2,
-                     flag_3gram: float = 0.18,
-                     flag_line: float = 0.3) -> DataFrame:
-    """Within-document repetition signals — the Gopher/MassiveText quality
-    rules that catch keyword-stuffed and template-generated pages: fraction
-    of duplicate word {2,3}-grams (1 - distinct/total occurrences) and
-    fraction of duplicate lines, plus the combined ``repetitive`` flag at
-    the classic thresholds. Pure array expressions (split + transform +
-    array_distinct), whole-stage JVM end to end — a single-pass map at any
-    scale; thresholds are arguments so a pipeline can tune per source."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), WS_RE)
+def repetition_cols(txt, *, flag_2gram: float = 0.2,
+                    flag_3gram: float = 0.18,
+                    flag_line: float = 0.3) -> dict:
+    """Expression form of repetition_stats over a text column — composable
+    into single-pass presets (corpus_filter_report) without joins."""
+    toks = F.split(F.trim(F.lower(txt)), WS_RE)
 
     def dup_frac(n: int):
         grams = F.when(
@@ -321,33 +316,39 @@ def repetition_stats(docs: DataFrame, *, flag_2gram: float = 0.2,
                    (total - F.size(F.array_distinct(grams))).cast("double") / total)
             .otherwise(F.lit(0.0)), 6)
 
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(txt, "\n")
     dup_line = F.round(
         (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
         / F.greatest(F.size(lines), F.lit(1)), 6)
     d2, d3 = dup_frac(2), dup_frac(3)
-    return docs.select(
-        "doc_id",
-        d2.alias("dup_2gram_frac"),
-        d3.alias("dup_3gram_frac"),
-        dup_line.alias("dup_line_frac"),
-        ((d2 > flag_2gram) | (d3 > flag_3gram) | (dup_line > flag_line))
-        .alias("repetitive"),
-    )
+    return {
+        "dup_2gram_frac": d2,
+        "dup_3gram_frac": d3,
+        "dup_line_frac": dup_line,
+        "repetitive": (d2 > flag_2gram) | (d3 > flag_3gram)
+                      | (dup_line > flag_line),
+    }
 
 
-def gopher_rules(docs: DataFrame, *, min_words: int = 50, max_words: int = 100_000,
-                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
-                 min_alpha_frac: float = 0.8, max_symbol_ratio: float = 0.1,
-                 max_bullet_frac: float = 0.9,
-                 max_ellipsis_frac: float = 0.3) -> DataFrame:
-    """The Gopher/MassiveText document-quality rule bundle beyond the
-    composite score: word count band, mean word length band, fraction of
-    words containing an alphabetic character, symbol-to-word ratio (# and
-    ellipses), bullet-started and ellipsis-ended line fractions — each as a
-    column plus the combined ``keep`` verdict. Single-pass JVM expressions;
-    every threshold is an argument (pipelines tune these per source)."""
-    toks = F.split(F.trim(F.col("text")), WS_RE)
+def repetition_stats(docs: DataFrame, **thresholds) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText quality
+    rules that catch keyword-stuffed and template-generated pages: fraction
+    of duplicate word {2,3}-grams (1 - distinct/total occurrences) and
+    fraction of duplicate lines, plus the combined ``repetitive`` flag at
+    the classic thresholds. Pure array expressions (split + transform +
+    array_distinct), whole-stage JVM end to end — a single-pass map at any
+    scale; thresholds are arguments so a pipeline can tune per source."""
+    cols = repetition_cols(F.col("text"), **thresholds)
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def gopher_cols(txt, *, min_words: int = 50, max_words: int = 100_000,
+                min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                min_alpha_frac: float = 0.8, max_symbol_ratio: float = 0.1,
+                max_bullet_frac: float = 0.9,
+                max_ellipsis_frac: float = 0.3) -> dict:
+    """Expression form of gopher_rules over a text column (composable)."""
+    toks = F.split(F.trim(txt), WS_RE)
     n_words = F.size(toks)
     safe_words = F.greatest(n_words, F.lit(1))
     mean_len = F.round(
@@ -355,9 +356,9 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50, max_words: int = 100_0
         .cast("double") / safe_words, 6)
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     alpha_frac = F.round(alpha_words.cast("double") / safe_words, 6)
-    symbols = _count_matches(F.col("text"), r"#|\.\.\.|…")
+    symbols = _count_matches(txt, r"#|\.\.\.|…")
     symbol_ratio = F.round(symbols.cast("double") / safe_words, 6)
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(txt, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = F.round(
         F.size(F.filter(lines, lambda ln: ln.rlike(r"^\s*([-*•]|\d+[.)])\s")))
@@ -373,12 +374,23 @@ def gopher_rules(docs: DataFrame, *, min_words: int = 50, max_words: int = 100_0
         & (bullet_frac <= max_bullet_frac)
         & (ellipsis_frac <= max_ellipsis_frac)
     )
-    return docs.select(
-        "doc_id", n_words.alias("n_words"), mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_word_frac"), symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"), keep.alias("keep"),
-    )
+    return {
+        "n_words": n_words, "mean_word_len": mean_len,
+        "alpha_word_frac": alpha_frac, "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac, "ellipsis_line_frac": ellipsis_frac,
+        "keep": keep,
+    }
+
+
+def gopher_rules(docs: DataFrame, **thresholds) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule bundle beyond the
+    composite score: word count band, mean word length band, fraction of
+    words containing an alphabetic character, symbol-to-word ratio (# and
+    ellipses), bullet-started and ellipsis-ended line fractions — each as a
+    column plus the combined ``keep`` verdict. Single-pass JVM expressions;
+    every threshold is an argument (pipelines tune these per source)."""
+    cols = gopher_cols(F.col("text"), **thresholds)
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 #: sentence boundary: terminator run followed by whitespace — RE2-safe (no
@@ -406,14 +418,17 @@ def mojibake_stats(docs: DataFrame, *, max_bad_frac: float = 0.01) -> DataFrame:
     ``clean`` verdict. The downstream filter for charset-detection misses:
     at 100 TB you don't re-decode — you drop or re-route the tiny bad
     fraction this flags."""
-    n_chars = F.greatest(F.length(F.col("text")), F.lit(1))
-    repl = _count_matches(F.col("text"), "�")
-    ctrl = _count_matches(F.col("text"), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    cols = mojibake_cols(F.col("text"), max_bad_frac=max_bad_frac)
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def mojibake_cols(txt, *, max_bad_frac: float = 0.01) -> dict:
+    """Expression form of mojibake_stats over a text column (composable)."""
+    n_chars = F.greatest(F.length(txt), F.lit(1))
+    repl = _count_matches(txt, "�")
+    ctrl = _count_matches(txt, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
     bad_frac = F.round((repl + ctrl).cast("double") / n_chars, 6)
-    return docs.select(
-        "doc_id",
-        repl.alias("n_replacement"),
-        ctrl.alias("n_control"),
-        bad_frac.alias("bad_char_frac"),
-        (bad_frac <= max_bad_frac).alias("clean"),
-    )
+    return {
+        "n_replacement": repl, "n_control": ctrl,
+        "bad_char_frac": bad_frac, "clean": bad_frac <= max_bad_frac,
+    }

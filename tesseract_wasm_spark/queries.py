@@ -1277,12 +1277,14 @@ def text_gopher_rules(spark, sf_dir):
     return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
-SQL_TEXT_GOPHER = r"""
-WITH t AS (SELECT doc_id, text,
+def _sql_gopher_cols(src: str, *, min_words: int = 50) -> str:
+    """The Gopher rule columns computed over CTE ``src`` (must expose
+    doc_id, text) — shared by the standalone oracle and composed presets."""
+    return rf"""gt AS (SELECT doc_id, text,
                   string_split_regex(trim(text), '\s+') AS toks,
                   string_split(text, chr(10)) AS lines
-           FROM documents),
-c AS (SELECT doc_id,
+           FROM {src}),
+gc AS (SELECT doc_id,
         len(toks) AS n_words,
         round(CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
                    AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len,
@@ -1296,16 +1298,22 @@ c AS (SELECT doc_id,
         round(CAST(len(list_filter(lines,
                    ln -> regexp_matches(ln, '(\.\.\.|…)\s*$')))
                    AS DOUBLE) / greatest(len(lines), 1), 6) AS ellipsis_line_frac
-      FROM t)
+      FROM gt),
+gk AS (SELECT *,
+        (n_words BETWEEN {min_words} AND 100000
+         AND mean_word_len BETWEEN 3.0 AND 10.0
+         AND alpha_word_frac >= 0.8
+         AND symbol_ratio <= 0.1
+         AND bullet_line_frac <= 0.9
+         AND ellipsis_line_frac <= 0.3) AS keep
+       FROM gc)"""
+
+
+SQL_TEXT_GOPHER = f"""
+WITH {_sql_gopher_cols('documents')}
 SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
-       bullet_line_frac, ellipsis_line_frac,
-       (n_words BETWEEN 50 AND 100000
-        AND mean_word_len BETWEEN 3.0 AND 10.0
-        AND alpha_word_frac >= 0.8
-        AND symbol_ratio <= 0.1
-        AND bullet_line_frac <= 0.9
-        AND ellipsis_line_frac <= 0.3) AS keep
-FROM c
+       bullet_line_frac, ellipsis_line_frac, keep
+FROM gk
 """
 
 
@@ -1319,7 +1327,9 @@ def text_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
-def _sql_text_repetition() -> str:
+def _sql_repetition_cols(src: str) -> str:
+    """Repetition-signal CTE chain over ``src`` (doc_id, text) — shared by
+    the standalone oracle and composed presets; ends in CTE ``rd``."""
     def grams(n: int) -> str:
         parts = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]"
                                    for k in range(n))
@@ -1334,23 +1344,23 @@ def _sql_text_repetition() -> str:
 
     dl = ("round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) "
           "/ greatest(len(lines), 1), 6)")
-    return rf"""
-WITH t AS (SELECT doc_id,
+    return rf"""rt AS (SELECT doc_id,
                   string_split_regex(trim(lower(text)), '\s+') AS toks,
                   string_split(text, chr(10)) AS lines
-           FROM documents),
-g AS (SELECT doc_id, {grams(2)} AS g2, {grams(3)} AS g3, lines FROM t),
-d AS (SELECT doc_id, {dup('g2')} AS dup_2gram_frac, {dup('g3')} AS dup_3gram_frac,
-             {dl} AS dup_line_frac
-      FROM g)
-SELECT doc_id, dup_2gram_frac, dup_3gram_frac, dup_line_frac,
-       (dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR dup_line_frac > 0.3)
-         AS repetitive
-FROM d
+           FROM {src}),
+rg AS (SELECT doc_id, {grams(2)} AS g2, {grams(3)} AS g3, lines FROM rt),
+rd AS (SELECT doc_id, {dup('g2')} AS dup_2gram_frac, {dup('g3')} AS dup_3gram_frac,
+              {dl} AS dup_line_frac,
+              ({dup('g2')} > 0.2 OR {dup('g3')} > 0.18 OR {dl} > 0.3)
+                AS repetitive
+       FROM rg)"""
+
+
+SQL_TEXT_REPETITION = f"""
+WITH {_sql_repetition_cols('documents')}
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac, dup_line_frac, repetitive
+FROM rd
 """
-
-
-SQL_TEXT_REPETITION = _sql_text_repetition()
 
 
 def text_sentences(spark, sf_dir):
@@ -1424,6 +1434,86 @@ SELECT doc_id, n_replacement, n_control,
              / greatest(n_chars, 1), 6) <= 0.01 AS clean
 FROM c
 """
+
+
+_MOJ_PLANT = " " + "�" * 10 + " bad"  # 10 replacement chars: mojibake plant
+
+
+def pipeline_filter_report(spark, sf_dir):
+    """The composed cleanup preset (datapipe.presets.corpus_filter_report):
+    per-document keep/drop decisions with the FIRST failing stage as the
+    reason. Defects are planted deterministically — doc_id%19==0 becomes its
+    own first 30 chars repeated 12x (repetition), doc_id%13==12 copies its
+    predecessor's text (exact duplicate), doc_id%17==0 gets ten U+FFFD
+    replacement chars (mojibake) — so every stage fires on real rows. The
+    oracle rebuilds the same planted corpus with a SQL window, re-runs the
+    gopher/repetition twins over it, derives the mojibake verdict from the
+    plant arithmetic, and resolves exact-dup keepers with a digest window —
+    a full composed dual derivation. (The lag build needs a global-order
+    window: plant construction only, not part of the operator under test.)"""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from tesseract_wasm_spark.datapipe.presets import corpus_filter_report  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    base = (
+        F.when(F.col("doc_id") % 19 == 0,
+               F.repeat(F.concat(F.substring("text", 1, 30), F.lit(" ")), 12))
+        .when(F.col("doc_id") % 13 == 12, F.lag("text").over(w))
+        .otherwise(F.col("text"))
+    )
+    built = F.concat(
+        F.coalesce(base, F.col("text")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(_MOJ_PLANT)).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", built.alias("text"))
+    return corpus_filter_report(planted, min_words=30)
+
+
+def _sql_pipeline_filter_report() -> str:
+    plant_sql = _MOJ_PLANT.replace("'", "''")
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 19 = 0
+               THEN repeat(substr(text, 1, 30) || ' ', 12)
+               WHEN doc_id % 13 = 12
+               THEN lag(text) OVER (ORDER BY doc_id) ELSE text END)
+         || (CASE WHEN doc_id % 17 = 0 THEN '{plant_sql}' ELSE '' END) AS text
+  FROM documents),
+{_sql_gopher_cols('built', min_words=30)},
+{_sql_repetition_cols('built')},
+moj AS (SELECT doc_id,
+               round(CAST(CASE WHEN doc_id % 17 = 0 THEN 10 ELSE 0 END
+                          AS DOUBLE) / greatest(length(text), 1), 6) <= 0.01
+                 AS clean
+        FROM built),
+dup AS (SELECT doc_id,
+               min(doc_id) OVER (
+                 PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               ) AS keep_id
+        FROM built)
+SELECT b.doc_id,
+       CASE WHEN NOT moj.clean THEN 'mojibake'
+            WHEN NOT gk.keep THEN 'gopher'
+            WHEN rd.repetitive THEN 'repetition'
+            WHEN b.doc_id <> dup.keep_id THEN 'duplicate'
+            ELSE 'kept' END AS reason,
+       CASE WHEN NOT moj.clean THEN FALSE
+            WHEN NOT gk.keep THEN FALSE
+            WHEN rd.repetitive THEN FALSE
+            WHEN b.doc_id <> dup.keep_id THEN FALSE
+            ELSE TRUE END AS kept
+FROM built b
+JOIN moj ON moj.doc_id = b.doc_id
+JOIN gk ON gk.doc_id = b.doc_id
+JOIN rd ON rd.doc_id = b.doc_id
+JOIN dup ON dup.doc_id = b.doc_id
+"""
+
+
+SQL_PIPELINE_FILTER = _sql_pipeline_filter_report()
 
 
 _LD_FOOTER = "subscribe to our newsletter for daily updates"
@@ -2219,6 +2309,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_keep_newest": (dedup_keep_newest, SQL_DEDUP_KEEP_NEWEST),
     "text_sentences": (text_sentences, SQL_TEXT_SENTENCES),
     "text_mojibake": (text_mojibake, SQL_TEXT_MOJIBAKE),
+    "pipeline_filter_report": (pipeline_filter_report, SQL_PIPELINE_FILTER),
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens)
     "ocr_text": (ocr_text, SQL_OCR_TEXT),

@@ -622,3 +622,33 @@ def test_sentences_and_mojibake(spark):
     assert moj[3]["clean"] and moj[3]["bad_char_frac"] == 0.0
     assert not moj[4]["clean"]
     assert moj[4]["n_replacement"] == 1 and moj[4]["n_control"] == 1
+
+
+def test_corpus_filter_report(spark):
+    """Composed cleanup preset: the reason is the FIRST failing stage in
+    order, clean_corpus keeps exactly the 'kept' rows."""
+    from tesseract_wasm_spark.datapipe.presets import (
+        clean_corpus,
+        corpus_filter_report,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog by the river while "
+            "seven wizards brew black quartz potions and judge my vow of "
+            "sphinx like silence under an old oak near the stone bridge at "
+            "dawn with cold wind rising from the valley floor")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                                   # exact dup of 1
+            (3, "bro�ken " * 8),                         # mojibake (and rep)
+            (4, "short doc"),                            # gopher word band
+            (5, " ".join(["spam spam"] * 40)),           # repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["reason"] for r in
+           corpus_filter_report(docs, min_words=20).collect()}
+    assert got == {1: "kept", 2: "duplicate", 3: "mojibake",
+                   4: "gopher", 5: "repetition"}
+    kept = clean_corpus(docs, min_words=20).collect()
+    assert [r["doc_id"] for r in kept] == [1] and kept[0]["text"] == good
