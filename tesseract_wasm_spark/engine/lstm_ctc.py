@@ -208,7 +208,8 @@ def recognize_line_lstm_scored(
 
 def recognize_page_lstm_scored(
     mask: np.ndarray, lines: list[Line], *, decoder: str = "best_path",
-    beam_width: int = 8, whitelist: str | None = None, lang: str = "eng"
+    beam_width: int = 8, whitelist: str | None = None, lang: str = "eng",
+    model: tuple | None = None,
 ) -> list[list[tuple[str, float]]]:
     """Per line, per word: (text, confidence) — ONE batched LSTM forward for
     the whole page (every word of every line steps the recurrence together,
@@ -221,8 +222,16 @@ def recognize_page_lstm_scored(
 
     Lines whose decode is not all-frames-exact retry DESC_ROWS higher (the
     all-descender baseline correction, mirroring recognize.py:181-201) in a
-    second, smaller batch; a retry is accepted only on a perfect decode."""
-    lstm, w_out, b_out, chars = build_recognizer(lang)
+    second, smaller batch; a retry is accepted only on a perfect decode.
+
+    ``model``: an explicit (lstm, w_out, b_out, chars) tuple — the
+    trained-weight path. EXPLICIT by design: Spark reuses python worker
+    processes across jobs, so registering weights in a worker-global would
+    leak one job's model into the next (a tamper test polluted an unrelated
+    job's workers before this parameter existed). The global registry
+    (load_lstm_model) is a driver-process convenience for OCREngine's
+    loadModel lifecycle, never mutated inside Spark tasks."""
+    lstm, w_out, b_out, chars = model if model is not None else build_recognizer(lang)
     blank = len(chars)
     if whitelist:
         allowed = set(whitelist)

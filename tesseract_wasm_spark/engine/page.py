@@ -92,13 +92,15 @@ def _despeckle(comps):
 def process_page(payload: bytes, *, with_text: bool = True, with_orientation: bool = True,
                  recognizer: str = "template",
                  variables: dict[str, str] | None = None,
-                 lang: str = "eng") -> PageResult:
+                 lang: str = "eng",
+                 lstm_model: tuple | None = None) -> PageResult:
     try:
         rgba = drf.decode(payload)
     except ValueError as exc:
         return PageResult(error=str(exc))
     return process_rgba(rgba, with_text=with_text, with_orientation=with_orientation,
-                        recognizer=recognizer, variables=variables, lang=lang)
+                        recognizer=recognizer, variables=variables, lang=lang,
+                        lstm_model=lstm_model)
 
 
 def process_rgba(
@@ -109,8 +111,11 @@ def process_rgba(
     recognizer: str = "template",
     variables: dict[str, str] | None = None,
     lang: str = "eng",
+    lstm_model: tuple | None = None,
 ) -> PageResult:
-    """``variables`` is the P11 parameter store (config.VariableStore
+    """``lstm_model``: explicit trained-weight tuple for the lstm
+    recognizer (lstm_ctc.parse_lstm_model) — passed, never worker-global.
+    ``variables`` is the P11 parameter store (config.VariableStore
     contents); the consumed keys and their behavioral effects:
 
       - ``tessedit_char_whitelist``: restrict the emit alphabet (reference:
@@ -206,7 +211,7 @@ def process_rgba(
         from tesseract_wasm_spark.engine.lstm_ctc import recognize_page_lstm_scored  # noqa: PLC0415
 
         recognized = recognize_page_lstm_scored(
-            mask, lines, whitelist=whitelist, lang=lang
+            mask, lines, whitelist=whitelist, lang=lang, model=lstm_model
         )
     else:
         recognized = recognize_words(

@@ -113,9 +113,11 @@ def ocr_pages(
 
     ``model_blob``: a TWSM2 trained-weight blob (lstm_ctc.export_lstm_model)
     shipped to every worker through the task closure (Spark broadcasts
-    closure constants once per executor) and registered before the first
-    page — the distributed form of OCREngine.loadModel: with
-    ``recognizer='lstm'`` every page decodes from the BLOB's weights.
+    closure constants once per executor) and parsed into an EXPLICIT weight
+    tuple per task — the distributed form of OCREngine.loadModel: with
+    ``recognizer='lstm'`` every page decodes from the BLOB's weights, and
+    no worker-global state is touched (reused workers can't leak a model
+    between jobs).
 
     ``with_text=False`` is the reference's layout-only cheap path
     (getBoundingBoxes with no model — src/lib.cpp:197-203): recognition is
@@ -153,10 +155,16 @@ def ocr_pages(
 
         from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
 
+        # the blob parses to an EXPLICIT weights tuple passed per page —
+        # never a worker-global registration: Spark reuses python worker
+        # processes across jobs, so global state would leak one job's model
+        # into the next (found by the test suite: a tampered-blob test
+        # polluted an unrelated lstm job's reused workers)
+        lstm_model = None
         if model_blob is not None:
-            from tesseract_wasm_spark.engine.lstm_ctc import load_lstm_model  # noqa: PLC0415
+            from tesseract_wasm_spark.engine.lstm_ctc import parse_lstm_model  # noqa: PLC0415
 
-            load_lstm_model(model_blob)  # idempotent per worker process
+            lstm_model = parse_lstm_model(model_blob)[1]
 
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
@@ -167,7 +175,7 @@ def ocr_pages(
                 res = process_page(
                     bytes(payload), with_text=with_text,
                     with_orientation=with_orientation, recognizer=recognizer,
-                    variables=variables, lang=lang,
+                    variables=variables, lang=lang, lstm_model=lstm_model,
                 )
                 # layout_boxes duplicate the words' rects on a full OCR run
                 # (the reference returns OCR boxes from getBoundingBoxes once
