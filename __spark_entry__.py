@@ -24,33 +24,12 @@ if _REPO not in sys.path:
 def _ensure_shipped(spark: SparkSession) -> None:
     """Make the package importable inside executor Python workers even when
     the driver's cwd is not the repo root: ship tesseract_wasm_spark as a
-    zip via addPyFile (idempotent; same mechanism as --py-files)."""
-    try:
-        import hashlib  # noqa: PLC0415
-        import zipfile  # noqa: PLC0415
+    content-addressed zip via addPyFile (idempotent; same mechanism as
+    --py-files). Logic lives in session.ship_package so jobs/extract_job.py
+    shares it."""
+    from tesseract_wasm_spark.session import ship_package
 
-        pkg = os.path.join(_REPO, "tesseract_wasm_spark")
-        sources = []
-        for root, _dirs, files in os.walk(pkg):
-            for name in sorted(files):
-                if name.endswith(".py"):
-                    sources.append(os.path.join(root, name))
-        # content-addressed zip name: a stale cached zip must never shadow
-        # newer code on the workers
-        digest = hashlib.sha256()
-        for full in sorted(sources):
-            digest.update(full.encode())
-            with open(full, "rb") as fh:
-                digest.update(fh.read())
-        zip_path = f"/tmp/twspark_pyfiles_{digest.hexdigest()[:16]}.zip"
-        if not os.path.exists(zip_path):
-            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-                for full in sorted(sources):
-                    zf.write(full, os.path.relpath(full, _REPO))
-        spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already added, or a restricted context — imports may still
-        # resolve via PYTHONPATH/cwd
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

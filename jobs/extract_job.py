@@ -58,25 +58,26 @@ def main() -> None:
     args = ap.parse_args()
 
     from tesseract_wasm_spark.scale import run_extract_with_resume, run_with_resume
-    from tesseract_wasm_spark.session import get_spark
+    from tesseract_wasm_spark.session import get_spark, ship_package
 
     spark = get_spark("twspark-extract", cores=args.cores)
+    ship_package(spark)  # foreign-cwd local runs: workers need the package too
     if args.input_format == "warc":
         from tesseract_wasm_spark.datapipe.warc import read_warc
 
         pages = read_warc(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
+    blob = None
+    if args.model_blob:
+        with open(args.model_blob, "rb") as fh:
+            blob = fh.read()
     if args.mode == "mixed":
         summary = run_extract_with_resume(
             spark, pages, args.output, recognizer=args.recognizer,
-            num_partitions=args.partitions,
+            num_partitions=args.partitions, model_blob=blob,
         )
     else:
-        blob = None
-        if args.model_blob:
-            with open(args.model_blob, "rb") as fh:
-                blob = fh.read()
         summary = run_with_resume(
             spark,
             pages,

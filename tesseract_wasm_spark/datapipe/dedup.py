@@ -815,22 +815,27 @@ def cluster_keepers(clusters: DataFrame, meta: DataFrame, *, order_col: str,
     highest-quality rendition. Picks, per cluster, the row maximizing
     ``order_col`` (ties -> smallest id, deterministic).
 
-    Scale shape: one groupBy(cluster_id) computing max(struct(order, -id))
-    — a map-side-combinable aggregate, NOT a window sort, so a pathological
-    10^6-member cluster reduces without materializing/sorting its rows in
-    one task — then a hash join back on cluster_id."""
+    Works for ANY orderable id type (long, string url, ...) — the
+    tie-break is max(order) then min(id), computed as two successive
+    map-side-combinable aggregates rather than a negated-id struct (which
+    would require a numeric id) or a window sort. Scale shape: one skinny
+    (id, cluster_id, order) join, then two groupBy(cluster_id) aggregates
+    and hash joins all keyed on cluster_id — a pathological 10^6-member
+    cluster reduces without materializing/sorting its rows in one task."""
     joined = clusters.select(id_col, "cluster_id").join(
         meta.select(id_col, order_col), id_col
     )
-    best = joined.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col(order_col).alias("o"),
-                       (-F.col(id_col)).alias("negid"))).alias("_b")
+    best = joined.groupBy("cluster_id").agg(F.max(F.col(order_col)).alias("_bo"))
+    withbest = joined.join(best, "cluster_id")
+    keeper = (
+        withbest.filter(F.col(order_col) == F.col("_bo"))
+        .groupBy("cluster_id")
+        .agg(F.min(F.col(id_col)).alias("_kid"))
     )
     return (
-        joined.join(best, "cluster_id")
+        withbest.join(keeper, "cluster_id")
         .select(
             id_col, "cluster_id", order_col,
-            ((F.col(order_col) == F.col("_b.o"))
-             & (F.col(id_col) == -F.col("_b.negid"))).alias("is_keeper"),
+            (F.col(id_col) == F.col("_kid")).alias("is_keeper"),
         )
     )

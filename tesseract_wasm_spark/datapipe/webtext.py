@@ -265,9 +265,12 @@ _META_CHARSET = (
 
 #: charset label (lowercased, after alias folding) -> JVM decode charset.
 #: Spark's decode() supports exactly six charsets; windows-1252 folds to
-#: ISO-8859-1 (identical for all printable positions except 0x80-0x9F
-#: typographic punctuation — a documented approximation), unknown labels
-#: fall back to UTF-8-with-replacement like browsers do.
+#: ISO-8859-1, and the 0x80-0x9F gap (typographic punctuation that
+#: ISO-8859-1 maps to C1 controls) is repaired afterwards by a translate()
+#: over _CP1252_C1_SRC/_CP1252_C1_DST — WHATWG treats the whole latin-1
+#: label family as windows-1252, so the repair applies to every label in
+#: this family (decode_html_expr). Unknown labels fall back to
+#: UTF-8-with-replacement like browsers do.
 _CHARSET_MAP = {
     "utf-8": "UTF-8", "utf8": "UTF-8",
     "iso-8859-1": "ISO-8859-1", "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
@@ -277,6 +280,25 @@ _CHARSET_MAP = {
     "us-ascii": "ISO-8859-1", "ascii": "ISO-8859-1",
     "utf-16": "UTF-16", "utf-16be": "UTF-16BE", "utf-16le": "UTF-16LE",
 }
+
+
+#: the 27 cp1252 positions in 0x80-0x9F that decode to printable characters
+#: (5 positions are undefined and stay as-is): source = the C1 control
+#: codepoints ISO-8859-1 yields, destination = the cp1252 characters.
+#: Built from the codec itself so the table is correct by construction.
+_CP1252_C1_SRC = "".join(
+    chr(b) for b in range(0x80, 0xA0)
+    if bytes([b]).decode("cp1252", "ignore")
+)
+_CP1252_C1_DST = bytes(
+    b for b in range(0x80, 0xA0) if bytes([b]).decode("cp1252", "ignore")
+).decode("cp1252")
+
+#: labels whose decode goes through ISO-8859-1 and therefore needs the
+#: C1 -> cp1252 punctuation repair (WHATWG: all of these ARE windows-1252)
+_LATIN1_FAMILY = tuple(
+    lab for lab, cs in _CHARSET_MAP.items() if cs == "ISO-8859-1"
+)
 
 
 def detect_charset_expr(payload: Column) -> Column:
@@ -299,15 +321,42 @@ def decode_html_expr(payload: Column) -> Column:
     """Charset-aware payload decode: detected label -> the matching JVM
     decode (UTF-16 BOMs route through Java's BOM-consuming 'UTF-16'
     charset), leading U+FEFF stripped, unknown labels -> UTF-8 with
-    replacement. The whole chain is whole-stage-codegen CASE/decode
-    expressions — no Python, so it composes with extract_any's fused
-    single-scan plan."""
+    replacement, and latin-1-family labels get the C1 -> cp1252
+    punctuation repair (translate over _CP1252_C1_SRC) so smart quotes /
+    dashes on windows-1252 pages decode to the real characters instead of
+    control chars that mojibake scoring would flag. The whole chain is
+    whole-stage-codegen CASE/decode/translate expressions — no Python, so
+    it composes with extract_any's fused single-scan plan.
+
+    SESSION-CONFIG CONTRACT: total decode (malformed bytes -> U+FFFD
+    instead of MALFORMED_CHARACTER_CODING) requires
+    ``spark.sql.legacy.codingErrorAction=true``, which session.get_spark
+    sets. On a vanilla SparkSession one malformed payload would throw and
+    kill the job — callers building their own session must set the conf
+    (extract_any enforces it at plan-build time)."""
     label = detect_charset_expr(payload)
     decoded = F.decode(payload, "UTF-8")
     for lab, charset in _CHARSET_MAP.items():
         jvm = "UTF-16" if charset in ("UTF-16BE", "UTF-16LE") else charset
-        decoded = F.when(label == lab, F.decode(payload, jvm)).otherwise(decoded)
+        col = F.decode(payload, jvm)
+        if lab in _LATIN1_FAMILY:
+            col = F.translate(col, _CP1252_C1_SRC, _CP1252_C1_DST)
+        decoded = F.when(label == lab, col).otherwise(decoded)
     return F.regexp_replace(decoded, "^\\uFEFF", "")
+
+
+def ensure_total_decode(df) -> None:
+    """Enforce decode_html_expr's error-as-value contract on the session
+    that will execute ``df``: set spark.sql.legacy.codingErrorAction=true
+    (runtime-settable SQL conf) if the caller's session lacks it, so a
+    malformed payload yields U+FFFD replacement rather than throwing
+    MALFORMED_CHARACTER_CODING mid-job."""
+    try:
+        conf = df.sparkSession.conf
+        if str(conf.get("spark.sql.legacy.codingErrorAction", "false")).lower() != "true":
+            conf.set("spark.sql.legacy.codingErrorAction", "true")
+    except Exception:
+        pass  # read-only conf surface (e.g. Connect) — documented contract applies
 
 
 def html_escape_expr(text: Column) -> Column:

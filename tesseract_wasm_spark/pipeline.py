@@ -231,6 +231,7 @@ def extract_any(
     variables: dict[str, str] | None = None,
     rebalance: bool = True,
     num_partitions: int | None = None,
+    model_blob: bytes | None = None,
 ) -> DataFrame:
     """Unified main-content extraction over a mixed Common-Crawl-style table:
     dispatch per payload — DRF page images through the OCR engine, PDFs
@@ -262,8 +263,16 @@ def extract_any(
     from tesseract_wasm_spark import drf  # noqa: PLC0415
     from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
         decode_html_expr,
+        ensure_total_decode,
         main_content_expr,
     )
+
+    # decode_html_expr's error-as-value guarantee requires
+    # spark.sql.legacy.codingErrorAction=true; enforce it here so a caller
+    # with their own vanilla SparkSession can't lose the total-decode
+    # contract silently (one malformed payload would otherwise throw
+    # MALFORMED_CHARACTER_CODING and kill a 10^12-row job)
+    ensure_total_decode(pages)
 
     if variables is not None:
         from tesseract_wasm_spark.config import VariableStore  # noqa: PLC0415
@@ -307,9 +316,22 @@ def extract_any(
         n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism * 2
         src = src.repartition(n, F.xxhash64("url"))
 
+    if model_blob is not None:
+        # same contract as ocr_pages: validate driver-side, ship through the
+        # task closure, parse per task — never worker-global state
+        from tesseract_wasm_spark.engine.lstm_ctc import parse_lstm_model  # noqa: PLC0415
+
+        parse_lstm_model(model_blob)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes  # noqa: PLC0415
         from tesseract_wasm_spark.engine.page import process_page  # noqa: PLC0415
+
+        lstm_model = None
+        if model_blob is not None:
+            from tesseract_wasm_spark.engine.lstm_ctc import parse_lstm_model  # noqa: PLC0415
+
+            lstm_model = parse_lstm_model(model_blob)[1]
 
         for pdf in batches:
             texts: list[str | None] = []
@@ -321,6 +343,7 @@ def extract_any(
                     res = process_page(
                         bytes(raw), with_text=True, with_orientation=True,
                         recognizer=recognizer, variables=variables, lang=lg,
+                        lstm_model=lstm_model,
                     )
                     texts.append(res.page_text)
                     errors.append(res.error)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tesseract_wasm_spark.pipeline import extract_any, metrics_df, ocr_pages
@@ -97,11 +98,20 @@ def write_table(df: DataFrame, path: str, *, fmt: str | None = None,
 
 def completed_urls(spark: SparkSession, results_path: str, mode: str = "full") -> DataFrame | None:
     """Urls already extracted *in the same mode* — a layout-only run must not
-    mark urls complete for full extraction (and vice versa)."""
+    mark urls complete for full extraction (and vice versa).
+
+    Only a genuinely-absent results table means "first run": any OTHER read
+    failure (permissions blip, corrupt footer, eventual consistency) is
+    re-raised — silently treating it as first-run would disable resume and
+    re-append duplicates for the whole input, which at 10^12 rows is a very
+    expensive way to learn the directory was briefly unlistable."""
     try:
         df = spark.read.parquet(results_path)
-    except Exception:
-        return None  # first run: nothing written yet
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None  # first run: nothing written yet
+        raise
     if "mode" in df.columns:
         df = df.filter(F.col("mode") == mode)
     cols = ["url_bucket", "url"] if "url_bucket" in df.columns else ["url"]
@@ -172,6 +182,7 @@ def run_extract_with_resume(
     *,
     recognizer: str = "template",
     num_partitions: int | None = None,
+    model_blob: bytes | None = None,
 ) -> dict:
     """The MIXED-payload main-content pipeline (pipeline.extract_any: DRF ->
     OCR, PDF -> pdftext, HTML -> webtext) under the same checkpoint-resume
@@ -196,7 +207,8 @@ def run_extract_with_resume(
         todo = pages.join(done, "url", "left_anti")
 
     res = extract_any(todo, recognizer=recognizer,
-                      num_partitions=num_partitions).persist()
+                      num_partitions=num_partitions,
+                      model_blob=model_blob).persist()
     n = res.count()
     if n == 0:
         res.unpersist()

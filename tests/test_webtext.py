@@ -310,6 +310,32 @@ def test_charset_aware_decode(spark):
         assert r["text_out"] == "caf\xe9 r\xe9sum\xe9 d\xe9j\xe0 vu", url
 
 
+def test_cp1252_punctuation_repair(spark):
+    """A windows-1252 page full of smart quotes / dashes / ellipses must
+    decode to the real typographic characters (not C1 controls) and pass
+    mojibake screening clean — the decode/quality interplay that would
+    otherwise drop punctuation-heavy cp1252 pages from the corpus."""
+    from tesseract_wasm_spark.datapipe.textstats import mojibake_cols
+    from tesseract_wasm_spark.datapipe.webtext import decode_html_expr
+
+    text = "“Quoted” — it’s caf\xe9… • 80–90%"
+    page = ('<html><head><meta charset="windows-1252"></head><body><p>'
+            + text + "</p></body></html>")
+    rows = [("u-cp1252", bytearray(page.encode("cp1252"))),
+            # same page labeled iso-8859-1: WHATWG folds the label family
+            # to windows-1252, so the repair applies there too
+            ("u-latin1-label", bytearray(page.replace(
+                "windows-1252", "iso-8859-1").encode("cp1252")))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    decoded = df.select("url", decode_html_expr(F.col("html")).alias("t"))
+    got = {r["url"]: r for r in decoded.select(
+        "url", "t", *[c.alias(n) for n, c in
+                      mojibake_cols(F.col("t")).items()]).collect()}
+    for url, r in got.items():
+        assert text in r["t"], (url, r["t"])
+        assert r["n_control"] == 0 and r["clean"], url
+
+
 def test_detect_charset_expr(spark):
     from tesseract_wasm_spark.datapipe.webtext import detect_charset_expr
 
@@ -359,7 +385,17 @@ def test_charset_round_trip_property(spark):
             return  # char not in target charset: not a valid page for it
         if label == "utf-16":  # BOM wins over meta, like browsers
             pass
-        cases.append((len(cases), bytearray(raw), text))
+        expected = text
+        if label in ("iso-8859-1", "windows-1252"):
+            # WHATWG: the latin-1 label family IS windows-1252, so bytes
+            # 0x80-0x9F decode to cp1252 punctuation (the 5 undefined
+            # positions pass through) — mirror that lens in the expectation
+            expected = "".join(
+                bytes([ord(c)]).decode("cp1252", "ignore") or c
+                if 0x80 <= ord(c) <= 0x9F else c
+                for c in text
+            )
+        cases.append((len(cases), bytearray(raw), expected))
 
     gen()
     assert cases, "hypothesis generated no cases"
