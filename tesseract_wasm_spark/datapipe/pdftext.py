@@ -1,11 +1,17 @@
 """PDF text extraction — the "PDF/layout parse" axis of the north rule's
 extraction tier (HTML ✓ webtext.py, images ✓ OCR engine, PDF here).
 
-Scope: the uncompressed-content-stream subset of PDF (text showing operators
-inside BT..ET blocks, string literals in parentheses) — the layer every real
-PDF text extractor bottoms out in once streams are inflated. Foreign filters
-(FlateDecode needs zlib over binary columns — doable but the synthetic
-corpus writes plain streams) are out of scope and documented.
+Two tiers share one operator grammar:
+
+- the EXPRESSION path (pdf_text_expr): uncompressed content streams parsed
+  entirely in whole-stage-codegen expressions, with a DuckDB twin running
+  the identical regexes — the full-dual-derivation oracle tier;
+- the BYTE path (extract_pdf_bytes): the real-world container — FlateDecode
+  (+ /DecodeParms PNG/TIFF predictors), classic xref tables AND PDF 1.5
+  /Type /XRef cross-reference streams, /Type /ObjStm object streams
+  (expanded so packed fonts/pages are visible), simple-font /Encoding
+  /Differences tables (inline or indirect), and Type0/CID composite fonts
+  decoded through /ToUnicode CMaps (bfchar/bfrange, both dst forms).
 
 Like webtext.py, the extractor is pure JVM expressions with RE2-safe
 regexes, so the DuckDB oracle (queries.SQL_PDF_TEXT) runs the IDENTICAL
@@ -231,25 +237,580 @@ def make_simple_pdf(lines: list[str], *, compress: bool = False,
     return b"\n".join(out)
 
 
+def _cid_encoding(lines: list[str]) -> tuple[dict[str, int], str]:
+    """Deterministic CID assignment + ToUnicode CMap source for a document:
+    every distinct character gets a 2-byte code from 0x0020 up (sorted, so
+    runs of consecutive codepoints compress into bfrange entries exactly
+    like real font subsetters emit). The CMap mixes all three mapping
+    forms the spec allows — bfchar singletons, incrementing bfrange, and
+    one explicit-array bfrange — so extraction must parse each."""
+    chars = sorted(set("".join(lines)))
+    codes = {c: 0x20 + i for i, c in enumerate(chars)}
+    runs: list[list[str]] = []
+    for c in chars:
+        if runs and ord(runs[-1][-1]) + 1 == ord(c):
+            runs[-1].append(c)
+        else:
+            runs.append([c])
+    bfchars: list[tuple[int, str]] = []
+    bfranges: list[tuple[int, int, str]] = []
+    arr_ranges: list[tuple[int, str]] = []
+    for run in runs:
+        if len(run) == 1:
+            bfchars.append((codes[run[0]], run[0]))
+        else:
+            bfranges.append((codes[run[0]], codes[run[-1]], run[0]))
+    if len(bfchars) >= 2:  # rewrite one singleton as the dst-ARRAY form
+        code, ch = bfchars.pop()
+        arr_ranges.append((code, ch))
+
+    def u16(s: str) -> str:
+        return s.encode("utf-16-be").hex().upper()
+
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    if bfchars:
+        parts.append(f"{len(bfchars)} beginbfchar")
+        parts += [f"<{c:04X}> <{u16(ch)}>" for c, ch in bfchars]
+        parts.append("endbfchar")
+    if bfranges or arr_ranges:
+        parts.append(f"{len(bfranges) + len(arr_ranges)} beginbfrange")
+        parts += [f"<{lo:04X}> <{hi:04X}> <{u16(ch)}>" for lo, hi, ch in bfranges]
+        parts += [f"<{c:04X}> <{c:04X}> [<{u16(ch)}>]" for c, ch in arr_ranges]
+        parts.append("endbfrange")
+    parts += ["endcmap", "CMapName currentdict /CMap defineresource pop",
+              "end", "end"]
+    return codes, "\n".join(parts)
+
+
+def _esc_bytes(bs: bytes) -> bytes:
+    """Raw show-string bytes -> PDF literal-string body (escape specials,
+    octal-escape non-printables) — the generator-side inverse of
+    _unescape_raw."""
+    out = bytearray()
+    for b in bs:
+        if b in (0x5C, 0x28, 0x29):
+            out += b"\\" + bytes([b])
+        elif 32 <= b < 127:
+            out.append(b)
+        else:
+            out += f"\\{b:03o}".encode("ascii")
+    return bytes(out)
+
+
+def make_modern_pdf(
+    lines: list[str],
+    *,
+    cid: bool = True,
+    objstm: bool = True,
+    xref_stream: bool = True,
+    predictor: bool = True,
+    compress: bool = True,
+    differences: dict[int, str] | None = None,
+) -> bytes:
+    """The post-2005 PDF container shape, deterministically: FlateDecode
+    content, a /Type /XRef cross-reference STREAM (optionally behind the
+    PNG Up predictor real writers use), non-stream objects (catalog, pages,
+    page, fonts, encoding dicts) packed into a /Type /ObjStm object
+    stream, and — with ``cid=True`` — a subsetted /Subtype /Type0 font
+    over /Identity-H whose show strings carry 2-byte CIDs decodable only
+    through its /ToUnicode CMap (bfchar + both bfrange dst forms; literal
+    AND hex string operators alternate per line). ``differences`` instead
+    builds a simple Type1 font whose /Encoding is an INDIRECT object (the
+    layout ObjStm-packed files use). ``objstm`` implies ``xref_stream``
+    (classic tables cannot reference ObjStm members — §7.5.7)."""
+    import zlib  # noqa: PLC0415
+
+    if objstm:
+        xref_stream = True
+    if cid:
+        codes, cmap_src = _cid_encoding(lines)
+
+        def show(i: int, ln: str) -> str:
+            cbytes = b"".join(codes[c].to_bytes(2, "big") for c in ln)
+            if i % 3 == 1:  # literal-string CIDs
+                return f"({_esc_bytes(cbytes).decode('latin-1')}) Tj 0 -14 Td"
+            return f"<{cbytes.hex().upper()}> Tj 0 -14 Td"
+    else:
+        rev = {
+            _AGL[name]: code
+            for code, name in (differences or {}).items() if name in _AGL
+        }
+
+        def show(i: int, ln: str) -> str:
+            coded = "".join(chr(rev[c]) if c in rev else c for c in ln)
+            body = _esc_bytes(coded.encode("latin-1")).decode("latin-1")
+            return f"({body}) Tj 0 -14 Td"
+
+    shows = "\n".join(show(i, ln) for i, ln in enumerate(lines))
+    content = f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("latin-1")
+    if compress:
+        content = zlib.compress(content, level=6)
+        content_dict = f"<< /Length {len(content)} /Filter /FlateDecode >>"
+    else:
+        content_dict = f"<< /Length {len(content)} >>"
+
+    # object bodies (numbers fixed: 1 catalog, 2 pages, 3 page, 4 content,
+    # 5 font, 6 ToUnicode CMap stream, 7 descendant font / encoding dict,
+    # 8 ObjStm, 9 XRef stream)
+    bodies: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+    }
+    streams: dict[int, tuple[str, bytes]] = {4: (content_dict, content)}
+    if cid:
+        bodies[5] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Subset-Custom "
+            b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+            b"/ToUnicode 6 0 R >>"
+        )
+        bodies[7] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Subset-Custom "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        cmap_b = cmap_src.encode("ascii")
+        if compress:
+            cmap_b = zlib.compress(cmap_b, level=6)
+            streams[6] = (
+                f"<< /Length {len(cmap_b)} /Filter /FlateDecode >>", cmap_b
+            )
+        else:
+            streams[6] = (f"<< /Length {len(cmap_b)} >>", cmap_b)
+    elif differences:
+        diff_arr = " ".join(f"{c} /{n}" for c, n in sorted(differences.items()))
+        bodies[5] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+                     b"/Encoding 7 0 R >>")  # INDIRECT encoding object
+        bodies[7] = (f"<< /Type /Encoding /Differences [ {diff_arr} ] >>"
+                     ).encode("ascii")
+    else:
+        bodies[5] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("ascii"))
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    objstm_index: dict[int, int] = {}
+    if objstm:
+        members = sorted(bodies)
+        parts, offs, pos = [], [], 0
+        for n in members:
+            offs.append((n, pos))
+            parts.append(bodies[n])
+            pos += len(bodies[n]) + 1
+        payload = b" ".join(f"{n} {o}".encode("ascii") for n, o in offs)
+        payload += b"\n"
+        first = len(payload)
+        payload += b"\n".join(parts) + b"\n"
+        objstm_index = {n: i for i, n in enumerate(members)}
+        zpayload = zlib.compress(payload, level=6)
+        head = (f"<< /Type /ObjStm /N {len(members)} /First {first} "
+                f"/Length {len(zpayload)} /Filter /FlateDecode >>")
+        streams[8] = (head, zpayload)
+    else:
+        for n in sorted(bodies):
+            emit(n, bodies[n])
+    for n in sorted(streams):
+        head, sbody = streams[n]
+        emit(n, head.encode("ascii") + b"\nstream\n" + sbody + b"\nendstream")
+
+    max_obj = 9 if xref_stream else max(offsets)
+    if xref_stream:
+        xref_num = 9
+        rows = []
+        for n in range(max_obj + 1):
+            if n == 0:
+                rows.append((0, 0, 65535))
+            elif n in objstm_index:
+                rows.append((2, 8, objstm_index[n]))
+            elif n in offsets:
+                rows.append((1, offsets[n], 0))
+            elif n == xref_num:
+                rows.append((1, len(out), 0))  # the xref stream itself
+            else:
+                rows.append((0, 0, 0))
+        data = b"".join(
+            bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+            for t, f2, f3 in rows
+        )
+        parms = ""
+        if predictor:  # PNG Up filter, the shape real writers emit
+            row_len = 7
+            filtered = bytearray()
+            prev = bytes(row_len)
+            for r0 in range(0, len(data), row_len):
+                row = data[r0 : r0 + row_len]
+                filtered.append(2)
+                filtered.extend((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+                prev = row
+            data = bytes(filtered)
+            parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+        zdata = zlib.compress(data, level=6)
+        head = (f"<< /Type /XRef /Size {max_obj + 1} /W [1 4 2] "
+                f"/Index [0 {max_obj + 1}] /Root 1 0 R "
+                f"/Length {len(zdata)} /Filter /FlateDecode{parms} >>")
+        startxref = len(out)
+        emit(xref_num, head.encode("ascii") + b"\nstream\n" + zdata
+             + b"\nendstream")
+        out.extend(f"startxref\n{startxref}\n%%EOF".encode("ascii"))
+    else:
+        startxref = len(out)
+        xref = ["xref", f"0 {max_obj + 1}", "0000000000 65535 f "]
+        xref += [f"{offsets.get(n, 0):010d} 00000 {'n' if n in offsets else 'f'} "
+                 for n in range(1, max_obj + 1)]
+        out.extend("\n".join(xref).encode("ascii"))
+        out.extend(f"\ntrailer\n<< /Size {max_obj + 1} /Root 1 0 R >>\n"
+                   f"startxref\n{startxref}\n%%EOF".encode("ascii"))
+    return bytes(out)
+
+
 # --- byte-level path: FlateDecode streams (the real-world PDF shape) --------
 
 import re as _re  # noqa: E402
 
-#: tempered dict match ((?!<<) keeps the head to the NEAREST dict before
-#: 'stream', not a greedy span across earlier objects); the body match is a
-#: fallback only — binary stream data is sliced by /Length when present,
-#: because a compressed stream whose last byte happens to be 0x0D would lose
-#: it to the \r?-tolerant terminator (a real 1-in-256 truncation, found by
-#: the mixed-corpus soak)
-_STREAM_RE = _re.compile(
-    rb"<<((?:(?!<<).)*?)>>\s*stream\r?\n(.*?)\r?\nendstream", _re.S
-)
 #: (?![\d\s]*R) — not the narrower (?!\s+\d+\s+R) — so an indirect-ref
 #: '/Length 15 0 R' cannot backtrack into matching '1' (digit-prefix
 #: backtracking satisfied the old lookahead); a direct length followed by
 #: another key ('/Length 44 /Filter') still matches because '/' breaks the
 #: class before any R
 _LENGTH_RE = _re.compile(rb"/Length\s+(\d+)(?![\d\s]*R)")
+
+#: '>> stream' keyword — the anchor the structural scanner walks BACK from
+#: (balancing << >> nesting) so stream dicts may contain nested dicts like
+#: /DecodeParms << /Predictor 12 /Columns 5 >>, which the old single-regex
+#: tempered match could not represent
+_STREAM_KW_RE = _re.compile(rb">>\s*stream(\r\n|\n|\r)")
+_DICT_TOK_RE = _re.compile(rb"<<|>>")
+_OBJ_HDR_TAIL_RE = _re.compile(rb"(\d+)\s+\d+\s+obj\s*$")
+
+
+def _find_streams(raw: bytes) -> list[tuple[int | None, bytes, bytes]]:
+    """Structural stream scan: every ``<< dict >> stream .. endstream`` in
+    document order as (owning objnum | None, dict interior, raw body).
+    The dict is found by balancing << >> tokens backwards from the stream
+    keyword (nested dicts supported); the body is sliced by a validated
+    /Length when present — a compressed stream whose last byte happens to
+    be 0x0D would lose it to an EOL-tolerant terminator otherwise (a real
+    1-in-256 truncation, found by the mixed-corpus soak)."""
+    toks = [(m.start(), m.group()) for m in _DICT_TOK_RE.finditer(raw)]
+    positions = [t[0] for t in toks]
+    out: list[tuple[int | None, bytes, bytes]] = []
+    import bisect  # noqa: PLC0415
+
+    for sm in _STREAM_KW_RE.finditer(raw):
+        close = sm.start()
+        idx = bisect.bisect_left(positions, close)
+        if idx >= len(toks) or toks[idx][0] != close:
+            continue
+        depth, start = 0, None
+        for j in range(idx, -1, -1):
+            depth += 1 if toks[j][1] == b">>" else -1
+            if depth == 0:
+                start = toks[j][0]
+                break
+        if start is None:
+            continue
+        head = raw[start + 2 : close]
+        body_start = sm.end()
+        body = None
+        ln = _LENGTH_RE.search(head)
+        if ln is not None:
+            end = body_start + int(ln.group(1))
+            if raw[end : end + 12].lstrip(b"\r\n").startswith(b"endstream"):
+                body = raw[body_start:end]
+        if body is None:  # wrong/placeholder/indirect /Length: EOL-sniff
+            end = raw.find(b"endstream", body_start)
+            if end < 0:
+                continue
+            body = raw[body_start:end]
+            for eol in (b"\r\n", b"\n", b"\r"):
+                if body.endswith(eol):
+                    body = body[: -len(eol)]
+                    break
+        hdr = _OBJ_HDR_TAIL_RE.search(raw[max(0, start - 48) : start])
+        out.append((int(hdr.group(1)) if hdr else None, head, body))
+    return out
+
+
+# --- PDF 1.5+ container depth: predictors, xref streams, object streams ----
+#
+# Post-2005 PDFs overwhelmingly store their cross-reference table as a
+# compressed /Type /XRef stream (PDF 32000-1 §7.5.8, usually behind a PNG
+# Up predictor) and pack their non-stream objects — fonts, pages, encoding
+# dicts, resource dicts — into /Type /ObjStm object streams (§7.5.7). A
+# linear obj..endobj scan alone cannot see inside an ObjStm, so fonts and
+# page dicts would be invisible. The reference has no PDF tier (this is the
+# north rule's "PDF/layout parse" axis); semantics follow the public spec.
+
+_PRED_RE = _re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = _re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = _re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = _re.compile(rb"/BitsPerComponent\s+(\d+)")
+_NUMKEY = {
+    b"/N": _re.compile(rb"/N\s+(\d+)"),
+    b"/First": _re.compile(rb"/First\s+(\d+)"),
+    b"/Prev": _re.compile(rb"/Prev\s+(\d+)"),
+    b"/Size": _re.compile(rb"/Size\s+(\d+)"),
+}
+
+
+def _png_predictor_decode(data: bytes, columns: int, colors: int = 1,
+                          bpc: int = 8) -> bytes:
+    """PNG row predictors (RFC 2083 filters None/Sub/Up/Average/Paeth) as
+    used by /Predictor 10-15. Row-at-a-time reconstruction; xref/ObjStm
+    streams are tiny (tens of bytes per row), so the Python loop is noise
+    next to the zlib inflate."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos < len(data):
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + row_len])
+        pos += row_len
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(head: bytes, data: bytes) -> bytes:
+    """Undo a /DecodeParms predictor (TIFF 2 or PNG 10-15) after inflate.
+    No /DecodeParms or /Predictor <= 1: identity."""
+    pm = _PRED_RE.search(head)
+    if pm is None:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    cm = _COLUMNS_RE.search(head)
+    columns = int(cm.group(1)) if cm else 1
+    colm = _COLORS_RE.search(head)
+    colors = int(colm.group(1)) if colm else 1
+    bm = _BPC_RE.search(head)
+    bpc = int(bm.group(1)) if bm else 8
+    if pred == 2:  # TIFF horizontal differencing (byte-aligned case)
+        bpp = max(1, (colors * bpc + 7) // 8)
+        row_len = (columns * colors * bpc + 7) // 8
+        out = bytearray(data)
+        for r0 in range(0, len(out), row_len):
+            for i in range(r0 + bpp, min(r0 + row_len, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    return _png_predictor_decode(data, columns, colors, bpc)
+
+
+def _maybe_inflate(head: bytes, body: bytes) -> bytes | None:
+    """Stream body -> decoded bytes: zlib for /FlateDecode (plus any
+    predictor), identity for plain streams, None for a corrupt inflate
+    (error-as-value: skip, never throw)."""
+    if b"/FlateDecode" in head:
+        import zlib  # noqa: PLC0415
+
+        try:
+            return _apply_predictor(head, zlib.decompress(body))
+        except zlib.error:
+            return None
+    return body
+
+
+def _parse_objstm(head: bytes, data: bytes) -> dict[int, bytes]:
+    """Inflated /Type /ObjStm payload -> {objnum: object body bytes}. The
+    first /First bytes hold N (objnum, offset) integer pairs; bodies are
+    offset-sliced (§7.5.7)."""
+    nm = _NUMKEY[b"/N"].search(head)
+    fm = _NUMKEY[b"/First"].search(head)
+    if nm is None or fm is None:
+        return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    nums = [int(x) for x in _re.findall(rb"\d+", data[:first])]
+    pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+    out: dict[int, bytes] = {}
+    for i, (objnum, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+        out[objnum] = data[first + off : first + end]
+    return out
+
+
+_STARTXREF_RE = _re.compile(rb"startxref\s+(\d+)")
+_W_RE = _re.compile(rb"/W\s*\[([^\]]*)\]")
+_INDEX_RE = _re.compile(rb"/Index\s*\[([^\]]*)\]")
+_OBJ_AT_RE = _re.compile(rb"\s*(\d+)\s+(\d+)\s+obj")
+
+
+def _read_balanced_dict(raw: bytes, at: int) -> tuple[bytes, int] | None:
+    """(dict interior, end offset past '>>') for the << .. >> starting at or
+    after ``at`` — nesting-aware (trailers and stream dicts may nest)."""
+    start = raw.find(b"<<", at)
+    if start < 0:
+        return None
+    depth = 0
+    for m in _DICT_TOK_RE.finditer(raw, start):
+        depth += 1 if m.group() == b"<<" else -1
+        if depth == 0:
+            return raw[start + 2 : m.start()], m.end()
+    return None
+
+
+def _parse_xref_at(raw: bytes, pos: int) -> tuple[dict[int, tuple], int | None]:
+    """One cross-reference section at ``pos`` -> (entries, /Prev offset).
+    Handles BOTH forms: a classic ``xref`` table (subsection headers +
+    20-byte rows, trailer dict) and a PDF 1.5 /Type /XRef stream (/W field
+    widths, /Index subsections, FlateDecode + predictor). Entry values:
+    ('n', byte offset) for in-file objects, ('o', objstm_num, idx) for
+    ObjStm members; free entries are skipped."""
+    entries: dict[int, tuple] = {}
+    if raw[pos : pos + 4] == b"xref":  # classic table
+        t = raw.find(b"trailer", pos)
+        section = raw[pos + 4 : t if t >= 0 else len(raw)]
+        objnum = None
+        remaining = 0
+        for line in section.splitlines():
+            parts = line.split()
+            if len(parts) == 2 and remaining == 0:
+                objnum, remaining = int(parts[0]), int(parts[1])
+            elif len(parts) == 3 and remaining > 0:
+                if parts[2] == b"n":
+                    entries[objnum] = ("n", int(parts[0]))
+                objnum += 1
+                remaining -= 1
+        prev = None
+        if t >= 0:
+            d = _read_balanced_dict(raw, t)
+            if d is not None:
+                pm = _NUMKEY[b"/Prev"].search(d[0])
+                prev = int(pm.group(1)) if pm else None
+        return entries, prev
+    # xref STREAM: 'N G obj << .. >> stream'
+    hm = _OBJ_AT_RE.match(raw, pos)
+    if hm is None:
+        return entries, None
+    d = _read_balanced_dict(raw, hm.end())
+    if d is None:
+        return entries, None
+    head, dict_end = d
+    if b"/XRef" not in head:
+        return entries, None
+    sm = _re.compile(rb"\s*stream(\r\n|\n|\r)").match(raw, dict_end)
+    if sm is None:
+        return entries, None
+    body_start = sm.end()
+    ln = _LENGTH_RE.search(head)
+    if ln is not None:
+        body = raw[body_start : body_start + int(ln.group(1))]
+    else:
+        end = raw.find(b"endstream", body_start)
+        body = raw[body_start : end if end >= 0 else len(raw)]
+    data = _maybe_inflate(head, body)
+    if data is None:
+        return entries, None
+    wm = _W_RE.search(head)
+    if wm is None:
+        return entries, None
+    widths = [int(x) for x in _re.findall(rb"\d+", wm.group(1))]
+    szm = _NUMKEY[b"/Size"].search(head)
+    size = int(szm.group(1)) if szm else 0
+    im = _INDEX_RE.search(head)
+    if im is not None:
+        nums = [int(x) for x in _re.findall(rb"\d+", im.group(1))]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        index = [(0, size)]
+    row_len = sum(widths)
+    pos2 = 0
+    for start_num, count in index:
+        for k in range(count):
+            if pos2 + row_len > len(data):
+                break
+            fields = []
+            for w in widths:
+                v = int.from_bytes(data[pos2 : pos2 + w], "big") if w else None
+                fields.append(v)
+                pos2 += w
+            ftype = fields[0] if fields[0] is not None else 1  # w=0: default 1
+            num = start_num + k
+            if ftype == 1:
+                entries[num] = ("n", fields[1])
+            elif ftype == 2:
+                entries[num] = ("o", fields[1], fields[2])
+    pm = _NUMKEY[b"/Prev"].search(head)
+    return entries, int(pm.group(1)) if pm else None
+
+
+def _xref_entries(raw: bytes) -> dict[int, tuple]:
+    """Authoritative object map from the cross-reference chain: the LAST
+    startxref, then /Prev links (newest section wins per objnum — the
+    incremental-update rule). Returns {} when there is no usable xref; the
+    caller's linear scan remains the recovery path either way."""
+    last = None
+    for last in _STARTXREF_RE.finditer(raw):
+        pass
+    if last is None:
+        return {}
+    entries: dict[int, tuple] = {}
+    pos = int(last.group(1))
+    seen: set[int] = set()
+    while 0 <= pos < len(raw) and pos not in seen:
+        seen.add(pos)
+        section, prev = _parse_xref_at(raw, pos)
+        for num, ent in section.items():
+            entries.setdefault(num, ent)  # first (newest) wins
+        if prev is None:
+            break
+        pos = prev
+    return entries
+
+
+def _object_at(raw: bytes, off: int) -> bytes | None:
+    """Object body at a (xref-supplied) byte offset: 'N G obj' header, body
+    up to 'endobj' (or up to 'stream' for stream objects — the dict is what
+    object-level parsing needs). None if the offset doesn't hold one."""
+    m = _OBJ_AT_RE.match(raw, off)
+    if m is None:
+        return None
+    end_obj = raw.find(b"endobj", m.end())
+    end_stream = raw.find(b"stream", m.end())
+    if end_stream >= 0 and (end_obj < 0 or end_stream < end_obj):
+        return raw[m.end() : end_stream]
+    if end_obj >= 0:
+        return raw[m.end() : end_obj]
+    return None
 _BT_ET_B = _re.compile(rb"(?s)BT(.*?)ET")
 _STR_B = _re.compile(_STR.encode("ascii"), _re.S)
 _SHOW_OP_B = _re.compile(_SHOW_OP.encode("ascii"))
@@ -280,11 +841,12 @@ def _unescape_b(s: bytes) -> str:
 # Real crawls are full of Type1/TrueType simple fonts whose /Encoding dict
 # remaps character codes via a /Differences array of glyph NAMES (PDF
 # 32000-1 §9.6.6). Scope: simple (one-byte-code) fonts with a Differences
-# array, glyph names resolved through an Adobe-Glyph-List subset covering
-# ASCII + common Latin-1 accents; codes outside the map fall back to latin-1
-# identity (≈ StandardEncoding in the ASCII range); unknown glyph names
-# yield U+FFFD. CID/Type0 composite fonts are out of scope (multi-byte
-# codes, CMaps) and decode through the default path.
+# array (inline or through an INDIRECT /Encoding object), glyph names
+# resolved through an Adobe-Glyph-List subset covering ASCII + common
+# Latin-1 accents; codes outside the map fall back to latin-1 identity
+# (≈ StandardEncoding in the ASCII range); unknown glyph names yield
+# U+FFFD. CID/Type0 composite fonts decode 2-byte codes through their
+# /ToUnicode CMap (_parse_cmap above).
 
 #: Adobe Glyph List subset: every ASCII punctuation/digit glyph name plus
 #: the Latin-1 accents that appear in western-European crawls
@@ -319,147 +881,287 @@ for _c in range(ord("A"), ord("z") + 1):  # letter glyph names are themselves
     if chr(_c).isalpha():
         _AGL.setdefault(chr(_c), chr(_c))
 
-_OBJ_B = _re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", _re.S)
+_OBJ_B = _re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", _re.S)
 _DIFFS_B = _re.compile(rb"/Differences\s*\[(.*?)\]", _re.S)
 _DIFF_TOK_B = _re.compile(rb"/([A-Za-z0-9.]+)|(\d+)")
 _FONT_RES_B = _re.compile(rb"/Font\s*<<(.*?)>>", _re.S)
-_FONT_REF_B = _re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R")
+_FONT_REF_B = _re.compile(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R")
+_ENC_REF_B = _re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_TOUNI_REF_B = _re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+#: a font decoder is ("simple", {code -> char}) for one-byte-code fonts with
+#: an /Encoding /Differences table, or ("cid", {2-byte code -> str}) for
+#: Type0 composite fonts decoded through their /ToUnicode CMap
+FontDecoder = tuple
 
 
-def _parse_font_encodings(raw: bytes) -> dict[bytes, dict[int, str]]:
-    """Resource name (b'F1') -> {char code -> decoded char} for every simple
-    font object that carries an inline /Encoding /Differences array. Two
-    passes over the raw (uncompressed object-level) file: collect per-object
-    Differences maps, then bind them to resource names through the pages'
-    /Resources /Font dicts. Resource dicts from different pages are merged —
-    same-name-different-font collisions (rare; generators number fonts
-    globally) resolve to the LAST binding, a documented approximation that
-    avoids tracking page->stream ownership."""
-    diffs_by_obj: dict[int, dict[int, str]] = {}
-    for m in _OBJ_B.finditer(raw):
-        body = m.group(2)
-        if b"/Font" not in body and b"/Type1" not in body:
+# --- Type0/CID fonts: /ToUnicode CMap decode (PDF 32000-1 §9.10.3) ----------
+#
+# Generated PDFs (word processors, browsers' print-to-PDF, LaTeX) dominantly
+# embed subsetted Type0 fonts over /Encoding /Identity-H: show strings carry
+# 2-byte glyph indexes, and the only route back to text is the font's
+# /ToUnicode CMap stream — beginbfchar (singletons), beginbfrange (ranges
+# with an incrementing dst or an explicit dst array), dst values UTF-16BE.
+
+_BFCHAR_B = _re.compile(rb"beginbfchar(.*?)endbfchar", _re.S)
+_BFRANGE_B = _re.compile(rb"beginbfrange(.*?)endbfrange", _re.S)
+_CMAP_TOK_B = _re.compile(rb"<([0-9A-Fa-f\s]*)>|\[")
+_HEXSTR_B = _re.compile(rb"<([0-9A-Fa-f\s]*)>|\]")
+
+
+def _hex_int(h: bytes) -> int:
+    return int(b"".join(h.split()) or b"0", 16)
+
+
+def _utf16_of(h: bytes) -> str:
+    hh = b"".join(h.split())
+    if len(hh) % 2:
+        hh += b"0"
+    return bytes.fromhex(hh.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream (inflated) -> {src code -> unicode string}.
+    Codespace is taken as the codes' own byte width (Identity-H sources are
+    2-byte); dst hex is UTF-16BE and may be multi-code-unit (ligatures).
+    bfrange increments apply to the dst's numeric value, preserving its
+    byte width (§9.10.3's 'last byte varies' rule for the ranges CMaps
+    actually emit)."""
+    table: dict[int, str] = {}
+    for sec in _BFCHAR_B.finditer(data):
+        toks = [m.group(1) for m in _CMAP_TOK_B.finditer(sec.group(1))
+                if m.group(1) is not None]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            table[_hex_int(src)] = _utf16_of(dst)
+    for sec in _BFRANGE_B.finditer(data):
+        body = sec.group(1)
+        pos = 0
+        pending: list[bytes] = []
+        while True:
+            m = _CMAP_TOK_B.search(body, pos)
+            if m is None:
+                break
+            pos = m.end()
+            if m.group(1) is None:  # '[' — explicit dst array form
+                if len(pending) >= 2:
+                    lo, hi = _hex_int(pending[-2]), _hex_int(pending[-1])
+                    dsts: list[bytes] = []
+                    while True:
+                        am = _HEXSTR_B.search(body, pos)
+                        if am is None:
+                            break
+                        pos = am.end()
+                        if am.group(1) is None:  # ']'
+                            break
+                        dsts.append(am.group(1))
+                    for k, d in enumerate(dsts[: hi - lo + 1]):
+                        table[lo + k] = _utf16_of(d)
+                pending = []
+                continue
+            pending.append(m.group(1))
+            if len(pending) == 3:
+                lo, hi = _hex_int(pending[0]), _hex_int(pending[1])
+                dsth = b"".join(pending[2].split())
+                base = _hex_int(dsth)
+                width = max(2, len(dsth))
+                for k in range(hi - lo + 1):
+                    table[lo + k] = _utf16_of(
+                        f"{base + k:0{width}x}".encode("ascii")
+                    )
+                pending = []
+    return table
+
+
+def _parse_fonts(objects: dict[int, bytes],
+                 stream_data: dict[int, bytes]) -> dict[bytes, FontDecoder]:
+    """Resource name (b'F1') -> FontDecoder over the COMPLETE object map
+    (top-level objects + ObjStm members + xref-recovered objects — fonts in
+    real PDFs live inside object streams). Simple fonts resolve an inline
+    OR indirect /Encoding dict's /Differences through the AGL subset;
+    Type0 fonts resolve their /ToUnicode CMap stream. Resource dicts from
+    different pages are merged — same-name-different-font collisions (rare;
+    generators number fonts globally) resolve to the LAST binding, a
+    documented approximation that avoids tracking page->stream ownership."""
+    decoders: dict[int, FontDecoder] = {}
+    for num, body in objects.items():
+        if b"/Font" not in body and b"/Type1" not in body and b"/Type0" not in body:
+            continue
+        if b"/Type0" in body:
+            tum = _TOUNI_REF_B.search(body)
+            if tum is not None:
+                cmap = _parse_cmap(stream_data.get(int(tum.group(1)), b""))
+                if cmap:
+                    decoders[num] = ("cid", cmap)
             continue
         dm = _DIFFS_B.search(body)
+        if dm is None:  # /Encoding may be an indirect object
+            em = _ENC_REF_B.search(body)
+            if em is not None:
+                enc_body = objects.get(int(em.group(1)), b"")
+                dm = _DIFFS_B.search(enc_body)
         if dm is None:
             continue
         code, table = 0, {}
         for tok in _DIFF_TOK_B.finditer(dm.group(1)):
-            name, num = tok.group(1), tok.group(2)
-            if num is not None:
-                code = int(num)
+            name, numtok = tok.group(1), tok.group(2)
+            if numtok is not None:
+                code = int(numtok)
             else:
                 table[code] = _AGL.get(name.decode("latin-1"), "�")
                 code += 1
         if table:
-            diffs_by_obj[int(m.group(1))] = table
-    if not diffs_by_obj:
+            decoders[num] = ("simple", table)
+    if not decoders:
         return {}
-    fonts: dict[bytes, dict[int, str]] = {}
-    for rm in _FONT_RES_B.finditer(raw):
+    fonts: dict[bytes, FontDecoder] = {}
+    allbodies = b"\n".join(objects.values())
+    for rm in _FONT_RES_B.finditer(allbodies):
         for ref in _FONT_REF_B.finditer(rm.group(1)):
             objnum = int(ref.group(2))
-            if objnum in diffs_by_obj:
-                fonts[ref.group(1)] = diffs_by_obj[objnum]
+            if objnum in decoders:
+                fonts[ref.group(1)] = decoders[objnum]
     return fonts
 
 
-def _decode_codes(raw: bytes, diffmap: dict[int, str] | None) -> str:
-    """Show-string bytes -> text under the active simple-font encoding:
-    remapped codes through the Differences table, everything else latin-1
-    identity (StandardEncoding agrees with latin-1 on printable ASCII)."""
-    if not diffmap:
+def _decode_codes(raw: bytes, dec: FontDecoder | None) -> str:
+    """Show-string bytes -> text under the active font decoder: simple
+    fonts remap one-byte codes through their Differences table (everything
+    else latin-1 identity — StandardEncoding agrees with latin-1 on
+    printable ASCII); CID fonts consume 2-byte codes through the ToUnicode
+    CMap (unmapped codes -> U+FFFD, a dangling odd byte is dropped — the
+    spec's 'best effort' for a malformed Identity-H string)."""
+    if not dec:
         return raw.decode("latin-1")
-    return "".join(diffmap.get(b, chr(b)) for b in raw)
+    kind, table = dec
+    if kind == "simple":
+        return "".join(table.get(b, chr(b)) for b in raw)
+    return "".join(
+        table.get((raw[i] << 8) | raw[i + 1], "�")
+        for i in range(0, len(raw) - 1, 2)
+    )
 
 
-def _hex_bytes_text(hexpart: bytes,
-                    diffmap: dict[int, str] | None = None) -> str:
+def _hex_bytes_text(hexpart: bytes, dec: FontDecoder | None = None) -> str:
     """Byte-path twin of _hex_text: strip whitespace, pad an odd digit count
-    with a trailing 0 (PDF §7.3.4.3), then decode through the active font's
-    Differences table if any, else latin-1 — matching literal strings — or
-    UTF-16BE when a FEFF BOM leads (decoded with 'replace' so a truncated
-    surrogate cannot raise; Java's String(bytes, charset) does the same
-    U+FFFD substitution on the expression path)."""
+    with a trailing 0 (PDF §7.3.4.3), then decode through the active font
+    decoder if any (Differences table or CID CMap), else latin-1 — matching
+    literal strings — or UTF-16BE when a FEFF BOM leads (decoded with
+    'replace' so a truncated surrogate cannot raise; Java's String(bytes,
+    charset) does the same U+FFFD substitution on the expression path)."""
     h = b"".join(hexpart.split())
     if len(h) % 2:
         h += b"0"
     raw = bytes.fromhex(h.decode("ascii"))
-    if diffmap:
-        return _decode_codes(raw, diffmap)
+    if dec:
+        return _decode_codes(raw, dec)
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
     return raw.decode("latin-1")
 
 
-def _op_text_bytes(op: bytes, diffmap: dict[int, str] | None = None) -> str:
+def _op_text_bytes(op: bytes, dec: FontDecoder | None = None) -> str:
     """One show operator (bytes) -> shown text; exact mirror of the
-    expression path's _op_text/_elem_text, plus the active simple-font
-    encoding (``diffmap``). Never raises on a _SHOW_OP match: every
-    alternative's decode path is total (latin-1/replace decoding, odd-hex
-    padding)."""
+    expression path's _op_text/_elem_text, plus the active font decoder
+    (``dec``: simple-font Differences table or Type0 CID CMap). Never
+    raises on a _SHOW_OP match: every alternative's decode path is total
+    (latin-1/replace decoding, odd-hex padding)."""
     if op.startswith(b"["):
         parts: list[str] = []
         for e in _TJ_ELEM_B.finditer(op):
             tok = e.group(0)
             if tok.startswith(b"("):
-                parts.append(_decode_codes(_unescape_raw(_STR_B.match(tok).group(1)), diffmap))
+                parts.append(_decode_codes(_unescape_raw(_STR_B.match(tok).group(1)), dec))
             elif tok.startswith(b"<"):
-                parts.append(_hex_bytes_text(tok[1:-1], diffmap))
+                parts.append(_hex_bytes_text(tok[1:-1], dec))
             elif float(tok.decode("ascii")) <= TJ_SPACE_KERN:
                 parts.append(" ")
         return "".join(parts)
     if op.startswith(b"<"):
-        return _hex_bytes_text(op[: op.index(b">")][1:], diffmap)
-    return _decode_codes(_unescape_raw(_STR_B.match(op).group(1)), diffmap)
+        return _hex_bytes_text(op[: op.index(b">")][1:], dec)
+    return _decode_codes(_unescape_raw(_STR_B.match(op).group(1)), dec)
 
 
 #: one alternation walking a text block in order: font selections (Tf) and
-#: show operators — the Tf operand is how simple-font /Differences encodings
-#: switch on and off mid-stream
+#: show operators — the Tf operand is how per-font encodings (Differences
+#: tables, CID CMaps) switch on and off mid-stream
 _TF_SHOW_B = _re.compile(
-    rb"/(?P<font>[A-Za-z0-9]+)\s+-?[\d.]+\s+Tf|(?P<show>"
+    rb"/(?P<font>[A-Za-z0-9_.+-]+)\s+-?[\d.]+\s+Tf|(?P<show>"
     + _SHOW_OP.encode("ascii").replace(b"(?s)", b"", 1) + rb")",
     _re.S,
 )
 
 
 def extract_pdf_bytes(raw: bytes) -> str:
-    """Full byte-level PDF text extraction: walk every stream object, inflate
-    /FlateDecode streams with zlib (stdlib — this is a DECODE step like
-    drf.decode, so it lives on the Python side of the pipeline), then parse
-    show operators (Tj literal/hex, TJ kerned arrays) exactly like the
-    relational expression path — tracking the active font (Tf) so simple
-    fonts with an /Encoding /Differences array decode through their glyph
-    table (_parse_font_encodings). The text font is graphics state, so the
-    active font persists across BT blocks and stream boundaries."""
-    import zlib  # noqa: PLC0415
+    """Full byte-level PDF text extraction over the real-world container:
 
-    fonts = _parse_font_encodings(raw)
-    diffmap: dict[int, str] | None = None
-    runs: list[str] = []
-    for m in _STREAM_RE.finditer(raw):
-        head, body = m.group(1), m.group(2)
-        ln = _LENGTH_RE.search(head)
-        if ln is not None:  # exact byte count beats EOL-sniffing the end —
-            # but only when it actually lands on the endstream keyword
-            # (a wrong/placeholder /Length falls back to the regex body)
-            end = m.start(2) + int(ln.group(1))
-            if raw[end : end + 12].lstrip(b"\r\n").startswith(b"endstream"):
-                body = raw[m.start(2) : end]
-        if b"/FlateDecode" in head:
+    1. structural stream scan (_find_streams: balanced dicts, /Length-sliced
+       bodies), inflating /FlateDecode (+ /DecodeParms predictors) — a
+       DECODE step like drf.decode, so it lives on the Python side;
+    2. /Type /ObjStm object streams are expanded so fonts/pages packed
+       inside them (the dominant post-2005 layout) become visible to
+       object-level parsing; /Type /XRef and /Metadata streams never reach
+       text extraction;
+    3. the object map is the linear obj..endobj scan UNION ObjStm members
+       UNION objects recovered through the cross-reference chain (classic
+       xref tables AND xref streams, /Prev-linked) — xref recovery finds
+       objects whose endobj markers are damaged, and xref damage never
+       blocks the linear path (each layer degrades independently);
+    4. show operators (Tj literal/hex, TJ kerned arrays) parse exactly like
+       the relational expression path, with a Tf state machine so simple
+       fonts decode through /Encoding /Differences tables (inline or
+       indirect) and Type0 composite fonts decode 2-byte CIDs through
+       their /ToUnicode CMap (bfchar + bfrange, both dst forms). The text
+       font is graphics state, so the active font persists across BT
+       blocks and stream boundaries."""
+    streams = _find_streams(raw)
+    objstm_members: dict[int, bytes] = {}
+    stream_data: dict[int, bytes] = {}
+    text_streams: list[tuple[int | None, bytes]] = []
+    for objnum, head, body in streams:
+        data = _maybe_inflate(head, body)
+        if data is None:
+            continue  # corrupt stream: skip, never throw (error-as-value)
+        if b"/ObjStm" in head:
             try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue  # corrupt stream: skip, never throw (error-as-value)
-        for block in _BT_ET_B.finditer(body):
+                objstm_members.update(_parse_objstm(head, data))
+            except Exception:
+                pass  # malformed pair table: the expansion is best-effort
+        elif b"/XRef" in head or b"/Metadata" in head:
+            continue  # structural/metadata streams are never page content
+        else:
+            if objnum is not None:
+                stream_data[objnum] = data
+            text_streams.append((objnum, data))
+    objects = {int(m.group(1)): m.group(2) for m in _OBJ_B.finditer(raw)}
+    objects.update(objstm_members)
+    try:
+        for num, ent in _xref_entries(raw).items():
+            if num not in objects and ent[0] == "n":
+                body2 = _object_at(raw, ent[1])
+                if body2 is not None:
+                    objects[num] = body2
+    except Exception:
+        pass  # a damaged xref chain must never block the linear path
+    fonts = _parse_fonts(objects, stream_data)
+    # ToUnicode CMap streams are font metadata, not page content
+    skip = {
+        int(m.group(1))
+        for body in objects.values()
+        for m in _TOUNI_REF_B.finditer(body)
+    }
+    dec: FontDecoder | None = None
+    runs: list[str] = []
+    for objnum, data in text_streams:
+        if objnum in skip:
+            continue
+        for block in _BT_ET_B.finditer(data):
             if fonts:
                 for t in _TF_SHOW_B.finditer(block.group(1)):
                     if t.group("font") is not None:
-                        diffmap = fonts.get(t.group("font"))
+                        dec = fonts.get(t.group("font"))
                     else:
-                        runs.append(_op_text_bytes(t.group("show"), diffmap))
-            else:  # no Differences-encoded fonts: skip the Tf state machine
+                        runs.append(_op_text_bytes(t.group("show"), dec))
+            else:  # no encoded fonts anywhere: skip the Tf state machine
                 for op in _SHOW_OP_B.finditer(block.group(1)):
                     runs.append(_op_text_bytes(op.group(0)))
     return "\n".join(runs)

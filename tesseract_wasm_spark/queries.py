@@ -1207,6 +1207,45 @@ FROM pages
 SQL_PDF_TEXT = _sql_pdf_text()
 
 
+def pdf_text_objstm(spark, sf_dir):
+    """Real-world PDF container depth (pdftext.make_modern_pdf /
+    extract_pdf_bytes): each document's text becomes a PDF 1.5 file with a
+    compressed /Type /XRef cross-reference STREAM (PNG Up predictor for
+    even doc_ids, unfiltered for odd — both decode paths exercised),
+    catalog/page/font dicts packed inside a /Type /ObjStm object stream,
+    FlateDecode content, and a subsetted Type0/Identity-H font whose
+    2-byte CIDs are decodable only through its /ToUnicode CMap (bfchar +
+    both bfrange dst forms; literal and hex show operators alternate per
+    line). Build and extraction run in ONE mapInPandas pass (generation is
+    deterministic from the text), so the oracle is fully ANALYTIC: the
+    extracted text must equal the source text verbatim — any xref/ObjStm/
+    predictor/CMap mis-parse anywhere in the container goes hash-red."""
+    import pandas as pd  # noqa: PLC0415
+
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def roundtrip(batches):
+        from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
+            extract_pdf_bytes, make_modern_pdf,
+        )
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = make_modern_pdf(
+                    str(text).split("\n"), predictor=int(did) % 2 == 0
+                )
+                out.append({"doc_id": did, "text_out": extract_pdf_bytes(blob)})
+            yield pd.DataFrame(out, columns=["doc_id", "text_out"])
+
+    return _spread(docs).mapInPandas(roundtrip, "doc_id long, text_out string")
+
+
+SQL_PDF_TEXT_OBJSTM = "SELECT doc_id, text AS text_out FROM documents"
+
+
 def warc_extract(spark, sf_dir):
     """WARC source round-trip (datapipe/warc.py — the container Common-Crawl
     corpora ship in): each document is wrapped in an HTML page, packed into
@@ -2282,9 +2321,7 @@ REGISTRY: dict[str, tuple] = {
     "ocr_media_metadata": (ocr_media_metadata, SQL_OCR_MEDIA),
     "ocr_text": (ocr_text, SQL_OCR_TEXT),
     "ocr_words": (ocr_words, SQL_OCR_WORDS),
-    # Q9-Q11 relational surface (oracle-checked)
-    "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),
-    "q_geometry": (q_geometry, SQL_GEOMETRY),
+    # Q11+ relational surface (oracle-checked)
     "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
@@ -2314,6 +2351,7 @@ REGISTRY: dict[str, tuple] = {
     "html_quality_blocks": (html_quality_blocks, SQL_HTML_QUALITY),
     "html_block_langs": (html_block_langs, SQL_HTML_BLOCK_LANGS),
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
+    "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     "html_charset": (html_charset, SQL_HTML_CHARSET),
@@ -2327,6 +2365,8 @@ REGISTRY: dict[str, tuple] = {
     # Rotated to the back (outside the driver's 50-entry sampling window):
     # the longest-streak entries — green in r01, r02, r03 AND r04, each with
     # an independent pytest behavioral gate. Rotate forward next round.
+    "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),
+    "q_geometry": (q_geometry, SQL_GEOMETRY),
     "q_filter_trim": (q_filter_trim, SQL_FILTER_TRIM),
     "q_filter_bitmask": (q_filter_bitmask, SQL_FILTER_BITMASK),
     "q_project_len": (q_project_len, SQL_PROJECT_LEN),
