@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -41,18 +42,23 @@ _H_DATE = b"warc-date"
 _H_CLEN = b"content-length"
 
 
-def make_warc(records: list[tuple[str, str, bytes]], *,
+def make_warc(records: list[tuple], *,
               compress: bool = True,
               content_type: str = "text/html") -> bytes:
     """Deterministic WARC fixture generator: one WARC/1.0 ``response`` record
-    per (url, iso_ts, payload) triple, each wrapped in an HTTP/1.1 200
-    envelope; ``compress=True`` emits one gzip member PER RECORD (the
-    ``.warc.gz`` convention that lets a reader seek between records)."""
+    per (url, iso_ts, payload[, content_type]) tuple, each wrapped in an
+    HTTP/1.1 200 envelope (a 4th tuple element overrides ``content_type``
+    per record — e.g. 'text/html; charset=windows-1252' to exercise the
+    transport-charset channel); ``compress=True`` emits one gzip member PER
+    RECORD (the ``.warc.gz`` convention that lets a reader seek between
+    records)."""
     out = io.BytesIO()
-    for url, ts, payload in records:
+    for rec in records:
+        url, ts, payload = rec[0], rec[1], rec[2]
+        ctype = rec[3] if len(rec) > 3 else content_type
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: "
-            + content_type.encode("ascii")
+            + ctype.encode("ascii")
             + b"\r\nContent-Length: " + str(len(payload)).encode("ascii")
             + b"\r\n\r\n" + payload
         )
@@ -98,11 +104,22 @@ def _split_members(raw: bytes) -> list[bytes]:
     return members
 
 
+#: HTTP envelope Content-Type header + its charset parameter — the
+#: transport channel WHATWG ranks ABOVE <meta charset> (BOM > transport >
+#: meta). WARC hands this to us for free; it is exactly what disambiguates
+#: the no-meta pages.
+_HTTP_CTYPE_RE = re.compile(rb"(?im)^content-type:[ \t]*([^\r\n]+)")
+_CHARSET_PARAM_RE = re.compile(
+    rb"(?i)charset[ \t]*=[ \t]*[\"']?[ \t]*([A-Za-z0-9_\-]+)"
+)
+
+
 def parse_warc_bytes(raw: bytes) -> tuple[list[dict], int]:
     """One archive's bytes -> (response-record rows, n_bad). Each row:
-    {url, warc_ts (ISO string), html (payload bytes)}. Non-response records
-    (warcinfo, request, metadata) are skipped silently — they are structure,
-    not data; malformed records count as bad."""
+    {url, warc_ts (ISO string), html (payload bytes), http_charset
+    (lowercase charset label from the HTTP Content-Type header, or None)}.
+    Non-response records (warcinfo, request, metadata) are skipped silently
+    — they are structure, not data; malformed records count as bad."""
     rows: list[dict] = []
     n_bad = 0
     for member in _split_members(raw):
@@ -134,18 +151,29 @@ def parse_warc_bytes(raw: bytes) -> tuple[list[dict], int]:
             if len(body) != clen or _H_URI not in headers:
                 n_bad += 1
                 continue
-            # strip the HTTP envelope: payload starts after its header block
+            # strip the HTTP envelope: payload starts after its header block;
+            # the envelope's Content-Type charset is surfaced (WHATWG ranks
+            # transport above <meta> — webtext.detect_charset_expr consumes
+            # it through its header_label argument)
             sep_at = body.find(b"\r\n\r\n")
             payload = body[sep_at + 4:] if sep_at >= 0 else body
+            http_charset = None
+            if sep_at >= 0:
+                cm = _HTTP_CTYPE_RE.search(body[:sep_at])
+                if cm is not None:
+                    pm = _CHARSET_PARAM_RE.search(cm.group(1))
+                    if pm is not None:
+                        http_charset = pm.group(1).decode("ascii").lower()
             rows.append({
                 "url": headers[_H_URI].decode("ascii", "replace"),
                 "warc_ts": headers.get(_H_DATE, b"").decode("ascii", "replace"),
                 "html": payload,
+                "http_charset": http_charset,
             })
     return rows, n_bad
 
 
-WARC_ROWS_DDL = "url string, warc_ts timestamp, html binary"
+WARC_ROWS_DDL = "url string, warc_ts timestamp, html binary, http_charset string"
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -164,7 +192,9 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             for content in pdf["content"]:
                 rows, _ = parse_warc_bytes(bytes(content))
                 out.extend(rows)
-            frame = pd.DataFrame(out, columns=["url", "warc_ts", "html"])
+            frame = pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "http_charset"]
+            )
             frame["warc_ts"] = pd.to_datetime(
                 frame["warc_ts"], errors="coerce", utc=True
             ).dt.tz_localize(None)

@@ -301,23 +301,30 @@ _LATIN1_FAMILY = tuple(
 )
 
 
-def detect_charset_expr(payload: Column) -> Column:
-    """binary payload -> lowercase charset label: BOM first (WHATWG
-    precedence), then a <meta charset=...> / http-equiv declaration sniffed
-    from the first CHARSET_SNIFF_BYTES (decoded latin-1 — total, never
-    fails), else the utf-8 default. Pure JVM expressions."""
+def detect_charset_expr(payload: Column,
+                        header_label: Column | None = None) -> Column:
+    """binary payload -> lowercase charset label, in WHATWG precedence
+    order: BOM first, then the TRANSPORT channel (``header_label`` — the
+    HTTP Content-Type charset parameter, which a WARC source surfaces as
+    its ``http_charset`` column), then a <meta charset=...> / http-equiv
+    declaration sniffed from the first CHARSET_SNIFF_BYTES (decoded
+    latin-1 — total, never fails), else the utf-8 default. Pure JVM
+    expressions."""
     head = F.decode(F.substring(payload, 1, CHARSET_SNIFF_BYTES), "ISO-8859-1")
     meta = F.lower(F.regexp_extract(head, _META_CHARSET, 1))
-    return (
+    out = (
         F.when(F.substring(payload, 1, 3) == F.lit(b"\xef\xbb\xbf"), "utf-8")
         .when(F.substring(payload, 1, 2) == F.lit(b"\xfe\xff"), "utf-16be")
         .when(F.substring(payload, 1, 2) == F.lit(b"\xff\xfe"), "utf-16le")
-        .when(meta != "", meta)
-        .otherwise("utf-8")
     )
+    if header_label is not None:
+        hdr = F.lower(F.trim(header_label))
+        out = out.when(hdr.isNotNull() & (hdr != ""), hdr)
+    return out.when(meta != "", meta).otherwise("utf-8")
 
 
-def decode_html_expr(payload: Column) -> Column:
+def decode_html_expr(payload: Column,
+                     header_label: Column | None = None) -> Column:
     """Charset-aware payload decode: detected label -> the matching JVM
     decode (UTF-16 BOMs route through Java's BOM-consuming 'UTF-16'
     charset), leading U+FEFF stripped, unknown labels -> UTF-8 with
@@ -333,8 +340,12 @@ def decode_html_expr(payload: Column) -> Column:
     ``spark.sql.legacy.codingErrorAction=true``, which session.get_spark
     sets. On a vanilla SparkSession one malformed payload would throw and
     kill the job — callers building their own session must set the conf
-    (extract_any enforces it at plan-build time)."""
-    label = detect_charset_expr(payload)
+    (extract_any enforces it at plan-build time).
+
+    ``header_label``: optional transport-channel charset label (the HTTP
+    Content-Type parameter a WARC source surfaces as ``http_charset``) —
+    ranked between BOM and <meta> per WHATWG; see detect_charset_expr."""
+    label = detect_charset_expr(payload, header_label)
     decoded = F.decode(payload, "UTF-8")
     for lab, charset in _CHARSET_MAP.items():
         jvm = "UTF-16" if charset in ("UTF-16BE", "UTF-16LE") else charset

@@ -296,14 +296,22 @@ def extract_any(
         .otherwise("html")
     )
     lang = F.col("lang") if "lang" in pages.columns else F.lit("eng")
+    # transport-channel charset (a WARC source surfaces the HTTP
+    # Content-Type parameter as http_charset): WHATWG ranks it between BOM
+    # and <meta>, so feed it to the decode when the table carries it
+    header_label = (
+        F.col("http_charset") if "http_charset" in pages.columns else None
+    )
     src = pages.select(
         "url",
         kind.alias("kind"),
         # html extraction happens HERE, inside whole-stage codegen; the map
         # stage below only passes the result through. decode_html_expr makes
-        # the payload decode charset-aware (BOM / <meta charset> sniff)
-        # before the strip — still pure expressions, same single scan
-        F.when(kind == "html", main_content_expr(decode_html_expr(payload)))
+        # the payload decode charset-aware (BOM / transport header / <meta
+        # charset> sniff) before the strip — still pure expressions, same
+        # single scan
+        F.when(kind == "html",
+               main_content_expr(decode_html_expr(payload, header_label)))
         .alias("expr_text"),
         # recognized-but-undecodable image containers: same error contract as
         # datapipe.multimodal.media_metadata (decoders aren't shippable here)

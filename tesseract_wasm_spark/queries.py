@@ -1678,6 +1678,104 @@ FROM pages
 """
 
 
+#: cp1252-encodable typographic plant — proves the transport-charset decode
+#: AND the C1 -> cp1252 punctuation repair on every non-utf8 branch
+_WC_PLANT = " caf\xe9 “quoted” – dash…"
+
+
+def warc_charset(spark, sf_dir):
+    """The HTTP Content-Type charset channel through the WARC container
+    (WHATWG precedence BOM > transport > meta — warc.parse_warc_bytes
+    surfaces the header as http_charset; webtext.detect_charset_expr ranks
+    it). Three branches by doc_id%3: (0) cp1252 page with NO meta tag —
+    only the transport header can decode it; (1) UTF-8-BOM page with a
+    WRONG iso-8859-1 header — the BOM must win; (2) no header charset, a
+    <meta iso-8859-1> tag — meta still applies. Every branch carries a
+    typographic plant (smart quotes, en-dash, ellipsis) that decodes
+    correctly only through the right charset + the C1->cp1252 repair. The
+    oracle re-derives (url, charset, main_text) from doc_id arithmetic in
+    SQL — a wrong precedence order or decode anywhere goes hash-red."""
+    import pandas as pd  # noqa: PLC0415
+
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.warc import (  # noqa: PLC0415
+        make_warc, parse_warc_bytes,
+    )
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        decode_html_expr, detect_charset_expr, main_content_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def esc(t: str) -> str:  # python twin of webtext.html_escape_expr
+        return (t.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;").replace('"', "&#34;")
+                 .replace("'", "&#x27;"))
+
+    def roundtrip(batches):
+        for pdf in batches:
+            recs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                url = f"https://warcch.test/{int(did)}"
+                page = (
+                    "<html><head><title>d</title></head><body>"
+                    '<nav><a href="/">Home</a></nav><article><p>'
+                    + esc(str(text)) + _WC_PLANT
+                    + "</p></article><footer>2024 example corp</footer>"
+                    "</body></html>"
+                )
+                c = int(did) % 3
+                if c == 0:  # transport-only cp1252
+                    raw = page.encode("cp1252")
+                    ctype = "text/html; charset=windows-1252"
+                elif c == 1:  # BOM beats the wrong header
+                    raw = b"\xef\xbb\xbf" + page.encode("utf-8")
+                    ctype = "text/html; charset=iso-8859-1"
+                else:  # no header charset: meta applies
+                    raw = page.replace(
+                        "<head>", '<head><meta charset="iso-8859-1">'
+                    ).encode("cp1252")
+                    ctype = "text/html"
+                recs.append((url, "2024-01-01T00:00:00Z", raw, ctype))
+            rows, _n_bad = parse_warc_bytes(make_warc(recs))
+            yield pd.DataFrame(rows, columns=["url", "html", "http_charset"])
+
+    parsed = _spread(docs).mapInPandas(
+        roundtrip, schema="url string, html binary, http_charset string"
+    )
+    hdr = F.col("http_charset")
+    return parsed.select(
+        "url",
+        detect_charset_expr(F.col("html"), hdr).alias("charset"),
+        main_content_expr(decode_html_expr(F.col("html"), hdr)).alias("main_text"),
+    )
+
+
+def _sql_warc_charset() -> str:
+    plant = _WC_PLANT
+    return f"""
+WITH pages AS (
+  SELECT 'https://warcch.test/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 3 AS INT) AS c,
+         '<html><head>'
+         || CASE WHEN doc_id % 3 = 2
+                 THEN '<meta charset="iso-8859-1">' ELSE '' END
+         || '<title>d</title></head><body>'
+         || '<nav><a href="/">Home</a></nav><article><p>'
+         || {_SQL_WARC_ESC} || '{plant}'
+         || '</p></article><footer>2024 example corp</footer></body></html>' AS h
+  FROM documents)
+SELECT url,
+       CASE c WHEN 0 THEN 'windows-1252'
+              WHEN 1 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset,
+       {_sql_main_text_over('h')} AS main_text
+FROM pages
+"""
+
+
+SQL_WARC_CHARSET = _sql_warc_charset()
+
+
 def extract_mixed(spark, sf_dir):
     """Unified extraction over the mixed fixture corpus (DRF images -> OCR,
     PDFs -> byte-level stream parse, HTML -> webtext strip, PNG/JPEG ->
@@ -2354,6 +2452,7 @@ REGISTRY: dict[str, tuple] = {
     "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
+    "warc_charset": (warc_charset, SQL_WARC_CHARSET),
     "html_charset": (html_charset, SQL_HTML_CHARSET),
     "text_line_dedup": (text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "text_repetition": (text_repetition, SQL_TEXT_REPETITION),

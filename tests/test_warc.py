@@ -131,3 +131,44 @@ def test_warc_round_trip_property():
         ]
 
     check()
+
+
+def test_http_charset_channel(spark, tmp_path):
+    """WHATWG charset precedence BOM > transport header > meta, end to end
+    through the WARC container: the parser surfaces the HTTP Content-Type
+    charset as http_charset, and extract_any consumes it — a cp1252 page
+    with NO meta tag (transport-only) decodes its typographic punctuation
+    correctly, a BOM page beats a wrong transport label, and a meta label
+    still applies when the header has none."""
+    from tesseract_wasm_spark.datapipe.warc import make_warc, parse_warc_bytes
+    from tesseract_wasm_spark.pipeline import extract_any
+
+    text = "“Smart” — it’s café…"
+    body = ("<html><head><title>t</title></head><body><article><p>"
+            + text + "</p></article></body></html>")
+    meta_body = body.replace("<head>", '<head><meta charset="windows-1252">')
+    recs = [
+        # transport-only cp1252: no meta, header must drive the decode
+        ("https://w.test/hdr", "2024-01-01T00:00:00Z",
+         body.encode("cp1252"), "text/html; charset=windows-1252"),
+        # BOM beats a WRONG transport label
+        ("https://w.test/bom", "2024-01-01T00:01:00Z",
+         b"\xef\xbb\xbf" + body.encode("utf-8"),
+         "text/html; charset=iso-8859-1"),
+        # no charset param in the header: meta still applies
+        ("https://w.test/meta", "2024-01-01T00:02:00Z",
+         meta_body.encode("cp1252"), "text/html"),
+    ]
+    rows, n_bad = parse_warc_bytes(make_warc(recs))
+    assert n_bad == 0
+    assert [r["http_charset"] for r in rows] == ["windows-1252",
+                                                 "iso-8859-1", None]
+    import pandas as pd
+
+    frame = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "http_charset"])
+    frame["warc_ts"] = pd.to_datetime(frame["warc_ts"], utc=True).dt.tz_localize(None)
+    pages = spark.createDataFrame(frame)
+    got = {r["url"].rsplit("/", 1)[-1]: r["text_out"]
+           for r in extract_any(pages).collect()}
+    for name in ("hdr", "bom", "meta"):
+        assert text in got[name], (name, got[name])
