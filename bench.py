@@ -600,23 +600,26 @@ closer steady-state figure for a 100 TB run."""
         def _row(tag, h, note=""):
             return (f"| {tag} | {h['raw']:.3f} | {h['adj']:.3f} | "
                     f"{h['spin_pair']:.3f} | {h['raw']/h['spin_pair']:.3f} | "
-                    f"{h['p4']:.0f} | {h['p16']:.0f} |{note}")
-        healthy = [h for h in hist if not _flag(h)]
-        best = max(healthy or hist, key=lambda h: h["raw"])
+                    f"{h['p4']:.0f} | {h['p16']:.0f} | {note} |")
+        healthy = [(i, h) for i, h in enumerate(hist) if not _flag(h)]
+        best_i, best = max(healthy or list(enumerate(hist)),
+                           key=lambda ih: ih[1]["raw"])
+        first_shown = len(hist) - min(len(hist), 10)
         rows_h = "\n".join(
-            _row(f"run {i+1}", h,
-                 " degraded 4-core leg (super-linear raw): excluded from best"
+            _row(f"run {first_shown + j + 1}", h,
+                 "degraded 4-core leg (super-linear raw): excluded from best"
                  if _flag(h) else "")
-            for i, h in enumerate(hist[-10:])
+            for j, h in enumerate(hist[-10:])
         )
         lines += f"""
 
-## Run history (this host; paired spin control alongside every run)
+## Run history (this host; paired spin control alongside every run —
+full record in BENCH/history.jsonl, table shows the last 10)
 
 | run | raw 4->16 | floor-adjusted | paired spin ceiling | raw/ceiling | p/s @4 | p/s @16 | note |
 |---|---|---|---|---|---|---|---|
+{_row(f"**best healthy (run {best_i + 1})**", best)}
 {rows_h}
-| **best healthy window** | **{best['raw']:.3f}** | **{best['adj']:.3f}** | {best['spin_pair']:.3f} | {best['raw']/best['spin_pair']:.3f} | {best['p4']:.0f} | {best['p16']:.0f} ||
 
 The north-rule criterion (>=0.8 between N and 4N) is met in any
 non-degraded host window (best healthy raw above — runs whose raw

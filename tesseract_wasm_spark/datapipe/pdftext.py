@@ -307,6 +307,74 @@ def _esc_bytes(bs: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF-variant LZW encoder (EarlyChange=1) — the generator-side inverse
+    of _lzw_decode, for /LZWDecode fixtures."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+        else:
+            emit(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode fixture encoder: literal chunks of <= 128 bytes plus
+    the 128 EOD (a valid, if uncompressive, encoding)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _encode_filters(content: bytes, filters: tuple[str, ...]) -> bytes:
+    """Apply the /Filter cascade's ENCODERS innermost-last (decode order is
+    first-to-last, so encoding composes in reverse)."""
+    import base64  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    enc = {
+        "FlateDecode": lambda d: zlib.compress(d, level=6),
+        "LZWDecode": _lzw_encode,
+        "ASCII85Decode": lambda d: base64.a85encode(d) + b"~>",
+        "ASCIIHexDecode": lambda d: d.hex().upper().encode("ascii") + b">",
+        "RunLengthDecode": _rl_encode,
+    }
+    for name in reversed(filters):
+        content = enc[name](content)
+    return content
+
+
 def make_modern_pdf(
     lines: list[str],
     *,
@@ -316,6 +384,7 @@ def make_modern_pdf(
     predictor: bool = True,
     compress: bool = True,
     differences: dict[int, str] | None = None,
+    content_filters: tuple[str, ...] | None = None,
 ) -> bytes:
     """The post-2005 PDF container shape, deterministically: FlateDecode
     content, a /Type /XRef cross-reference STREAM (optionally behind the
@@ -327,7 +396,10 @@ def make_modern_pdf(
     AND hex string operators alternate per line). ``differences`` instead
     builds a simple Type1 font whose /Encoding is an INDIRECT object (the
     layout ObjStm-packed files use). ``objstm`` implies ``xref_stream``
-    (classic tables cannot reference ObjStm members — §7.5.7)."""
+    (classic tables cannot reference ObjStm members — §7.5.7).
+    ``content_filters`` overrides the content stream's /Filter with an
+    explicit cascade (e.g. ("ASCII85Decode", "FlateDecode") — transfer
+    armor outside compression, decode order first-to-last)."""
     import zlib  # noqa: PLC0415
 
     if objstm:
@@ -353,7 +425,14 @@ def make_modern_pdf(
 
     shows = "\n".join(show(i, ln) for i, ln in enumerate(lines))
     content = f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("latin-1")
-    if compress:
+    if content_filters:  # explicit /Filter cascade (may include armor)
+        content = _encode_filters(content, content_filters)
+        if len(content_filters) == 1:
+            fspec = f"/{content_filters[0]}"
+        else:
+            fspec = "[ " + " ".join(f"/{n}" for n in content_filters) + " ]"
+        content_dict = f"<< /Length {len(content)} /Filter {fspec} >>"
+    elif compress:
         content = zlib.compress(content, level=6)
         content_dict = f"<< /Length {len(content)} /Filter /FlateDecode >>"
     else:
@@ -636,18 +715,134 @@ def _apply_predictor(head: bytes, data: bytes) -> bytes:
     return _png_predictor_decode(data, columns, colors, bpc)
 
 
-def _maybe_inflate(head: bytes, body: bytes) -> bytes | None:
-    """Stream body -> decoded bytes: zlib for /FlateDecode (plus any
-    predictor), identity for plain streams, None for a corrupt inflate
-    (error-as-value: skip, never throw)."""
-    if b"/FlateDecode" in head:
-        import zlib  # noqa: PLC0415
+#: /Filter may be a single name or an ARRAY of names applied as a cascade
+#: (e.g. [/ASCII85Decode /FlateDecode] — the transfer-armored form real
+#: generators emit); decode order is first-to-last (§7.4)
+_FILTER_RE = _re.compile(
+    rb"/Filter\s*(?:\[((?:\s*/[A-Za-z0-9]+)+)\s*\]|/([A-Za-z0-9]+))"
+)
+_NAME_RE = _re.compile(rb"/([A-Za-z0-9]+)")
 
+
+def _ascii85_decode(body: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, 'z' shorthand for four zero
+    bytes, whitespace ignored, terminated by '~>'. stdlib a85decode matches
+    the PDF variant exactly (Adobe framing)."""
+    import base64  # noqa: PLC0415
+
+    end = body.find(b"~>")
+    if end >= 0:
+        body = body[:end]
+    return base64.a85decode(b"".join(body.split()))
+
+
+def _asciihex_decode(body: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>' EOD, odd
+    digit count implies a trailing 0 — the same rule as hex show strings."""
+    end = body.find(b">")
+    if end >= 0:
+        body = body[:end]
+    h = b"".join(body.split())
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _runlength_decode(body: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte L — L <= 127 copies the next
+    L+1 bytes, L >= 129 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        ln = body[pos]
+        pos += 1
+        if ln == 128:
+            break
+        if ln <= 127:
+            out += body[pos : pos + ln + 1]
+            pos += ln + 1
+        else:
+            out += body[pos : pos + 1] * (257 - ln)
+            pos += 1
+    return bytes(out)
+
+
+def _lzw_decode(body: bytes) -> bytes:
+    """LZWDecode (§7.4.4): the TIFF/PDF LZW variant — 8-bit codes growing
+    9..12 bits MSB-first, code 256 = clear table, 257 = EOD, and the
+    'early change' convention (code width bumps one code BEFORE the table
+    fills, the PDF default EarlyChange=1)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in body:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change (EarlyChange=1 default): the decoder's table lags
+            # the encoder's by one entry, so it widens at 2^w - 2 — one
+            # earlier than the non-early 2^w - 1
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _maybe_inflate(head: bytes, body: bytes) -> bytes | None:
+    """Stream body -> decoded bytes through the /Filter cascade:
+    ASCIIHexDecode / ASCII85Decode (transfer armor), RunLengthDecode,
+    LZWDecode, FlateDecode (+ /DecodeParms predictor after either
+    compression filter). Identity for plain streams; None for a corrupt
+    or unsupported decode (error-as-value: skip the stream, never throw —
+    image filters like DCTDecode/JPXDecode are compressed pixel data, not
+    text, and correctly fall out here)."""
+    fm = _FILTER_RE.search(head)
+    if fm is None:
+        return body
+    if fm.group(2) is not None:
+        filters = [fm.group(2)]
+    else:
+        filters = [m.group(1) for m in _NAME_RE.finditer(fm.group(1))]
+    import zlib  # noqa: PLC0415
+
+    data = body
+    for name in filters:
         try:
-            return _apply_predictor(head, zlib.decompress(body))
-        except zlib.error:
-            return None
-    return body
+            if name == b"FlateDecode":
+                data = _apply_predictor(head, zlib.decompress(data))
+            elif name == b"LZWDecode":
+                data = _apply_predictor(head, _lzw_decode(data))
+            elif name == b"ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif name == b"ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif name == b"RunLengthDecode":
+                data = _runlength_decode(data)
+            else:
+                return None  # DCTDecode/JPXDecode/CCITT...: not text streams
+        except Exception:
+            return None  # corrupt stream: skip, never throw
+    return data
 
 
 def _parse_objstm(head: bytes, data: bytes) -> dict[int, bytes]:

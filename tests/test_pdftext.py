@@ -458,3 +458,50 @@ def test_extract_any_routes_modern_pdf(spark):
     row = extract_any(pages).collect()[0]
     assert row["kind"] == "pdf" and row["error"] is None
     assert row["text_out"] == "\n".join(_CID_LINES)
+
+
+def test_filter_cascades():
+    """Real-world /Filter shapes beyond plain Flate: LZW (early-change,
+    9->12-bit growth), RunLength, the ASCII armor filters, and CASCADES
+    (/Filter arrays, decode order first-to-last) — all through the full
+    container round trip."""
+    from tesseract_wasm_spark.datapipe.pdftext import (
+        extract_pdf_bytes, make_modern_pdf,
+    )
+
+    expected = "\n".join(_CID_LINES)
+    for filters in (
+        ("LZWDecode",),
+        ("ASCIIHexDecode",),
+        ("RunLengthDecode",),
+        ("ASCII85Decode", "FlateDecode"),
+        ("ASCII85Decode", "LZWDecode"),
+        ("ASCIIHexDecode", "RunLengthDecode"),
+    ):
+        pdf = make_modern_pdf(_CID_LINES, content_filters=filters)
+        assert extract_pdf_bytes(pdf) == expected, filters
+
+
+def test_unsupported_image_filter_skipped():
+    """A DCTDecode (JPEG pixel) stream is not text: it must be skipped as a
+    whole, never decoded or crashed on — the error-as-value contract."""
+    from tesseract_wasm_spark.datapipe.pdftext import (
+        extract_pdf_bytes, make_modern_pdf,
+    )
+
+    pdf = make_modern_pdf(["real text line"], objstm=False)
+    fake_img = (b"\n20 0 obj\n<< /Length 6 /Filter /DCTDecode "
+                b"/Subtype /Image >>\nstream\n\xff\xd8\xff--\xd9\nendstream"
+                b"\nendobj\n")
+    patched = pdf.replace(b"startxref", fake_img + b"startxref", 1)
+    assert extract_pdf_bytes(patched) == "real text line"
+
+
+def test_lzw_kwkwk_and_growth():
+    """LZWDecode unit coverage: the KwKwK self-reference case and code-width
+    growth through 10/11/12 bits with the early-change convention."""
+    from tesseract_wasm_spark.datapipe.pdftext import _lzw_decode, _lzw_encode
+
+    for data in (b"ababababab", b"ab" * 9000, b"x" * 20000,
+                 bytes(range(256)) * 40, b""):
+        assert _lzw_decode(_lzw_encode(data)) == data, len(data)
