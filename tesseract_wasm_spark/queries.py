@@ -1246,6 +1246,88 @@ def pdf_text_objstm(spark, sf_dir):
 SQL_PDF_TEXT_OBJSTM = "SELECT doc_id, text AS text_out FROM documents"
 
 
+def url_filters(spark, sf_dir):
+    """URL-level corpus screening (datapipe/urlfilter.py — the C4/
+    RefinedWeb pre-extraction gate): a deterministic URL is synthesized per
+    document covering every rule branch (doc_id%7: normal page, blocklisted
+    domain, blocklisted-subdomain, raw-IP host, media-asset extension,
+    crawler-trap path depth, port+query page that must still KEEP), then
+    screened. The oracle rebuilds the same URLs AND re-runs every rule with
+    the IDENTICAL interpolated regexes in SQL — full dual derivation."""
+    from tesseract_wasm_spark.datapipe.urlfilter import url_quality  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 7 == 1, F.concat(F.lit("https://ads.example/banner/"), d))
+        .when(d % 7 == 2, F.concat(F.lit("https://cdn.tracker.example/pix/"), d))
+        .when(d % 7 == 3, F.concat(F.lit("http://192.168."), (d % 256),
+                                   F.lit(".7/index/"), d))
+        .when(d % 7 == 4, F.concat(F.lit("https://img.example.com/assets/photo-"),
+                                   d, F.lit(".jpg")))
+        .when(d % 7 == 5, F.concat(F.lit("https://deep.example.com/a/b/c/d/e/f/g/h/i/j/"), d))
+        .when(d % 7 == 6, F.concat(F.lit("https://shop.example.com:8443/item-"), d,
+                                   F.lit("?id="), d))
+        .otherwise(F.concat(F.lit("https://www.site"), (d % 50),
+                            F.lit(".example.com/articles/post-"), d))
+    )
+    return url_quality(docs.select("doc_id", url.alias("url")))
+
+
+def _sql_url_filters() -> str:
+    from tesseract_wasm_spark.datapipe.urlfilter import (  # noqa: PLC0415
+        DEFAULT_BLOCKLIST, MAX_PATH_DEPTH, RE_AUTHORITY, RE_BAD_EXT, RE_HOST,
+        RE_IP_HOST, RE_PATH, RE_PORT, RE_TLD,
+    )
+
+    blocked = " OR ".join(
+        f"host = '{dom}' OR host LIKE '%.{dom}'" for dom in DEFAULT_BLOCKLIST
+    )
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 1 THEN 'https://ads.example/banner/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://cdn.tracker.example/pix/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'http://192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7/index/' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'https://img.example.com/assets/photo-'
+                  || CAST(doc_id AS VARCHAR) || '.jpg'
+      WHEN 5 THEN 'https://deep.example.com/a/b/c/d/e/f/g/h/i/j/'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 6 THEN 'https://shop.example.com:8443/item-'
+                  || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.example.com/articles/post-' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents),
+parsed AS (
+  SELECT doc_id, url,
+         coalesce(regexp_extract(lower(coalesce(regexp_extract(url, '{RE_AUTHORITY}', 1), '')), '{RE_HOST}', 1), '') AS host,
+         coalesce(regexp_extract(lower(coalesce(regexp_extract(url, '{RE_AUTHORITY}', 1), '')), '{RE_PORT}', 1), '') AS port,
+         coalesce(regexp_extract(url, '{RE_PATH}', 1), '') AS path
+  FROM urls),
+feat AS (
+  SELECT doc_id, url, host,
+         coalesce(regexp_extract(host, '{RE_TLD}', 1), '') AS tld,
+         CAST(length(path) - length(replace(path, '/', '')) AS INT) AS path_depth,
+         regexp_matches(host, '{RE_IP_HOST}') AS is_ip_host,
+         regexp_matches(lower(path), '{RE_BAD_EXT}') AS bad_ext,
+         ({blocked}) AS blocked_domain,
+         port <> '' AS has_port
+  FROM parsed)
+SELECT doc_id, url, host, tld, path_depth, is_ip_host, bad_ext,
+       blocked_domain, has_port,
+       path_depth > {MAX_PATH_DEPTH} AS too_deep,
+       NOT (blocked_domain OR is_ip_host OR bad_ext
+            OR path_depth > {MAX_PATH_DEPTH}) AS keep
+FROM feat
+"""
+
+
+SQL_URL_FILTERS = _sql_url_filters()
+
+
 def warc_extract(spark, sf_dir):
     """WARC source round-trip (datapipe/warc.py — the container Common-Crawl
     corpora ship in): each document is wrapped in an HTML page, packed into
@@ -2419,8 +2501,7 @@ REGISTRY: dict[str, tuple] = {
     "ocr_media_metadata": (ocr_media_metadata, SQL_OCR_MEDIA),
     "ocr_text": (ocr_text, SQL_OCR_TEXT),
     "ocr_words": (ocr_words, SQL_OCR_WORDS),
-    # Q11+ relational surface (oracle-checked)
-    "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
+    # relational surface (oracle-checked)
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_window_running": (q_window_running, SQL_WINDOW_RUNNING),
@@ -2450,6 +2531,7 @@ REGISTRY: dict[str, tuple] = {
     "html_block_langs": (html_block_langs, SQL_HTML_BLOCK_LANGS),
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
+    "url_filters": (url_filters, SQL_URL_FILTERS),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     "warc_charset": (warc_charset, SQL_WARC_CHARSET),
@@ -2464,6 +2546,7 @@ REGISTRY: dict[str, tuple] = {
     # Rotated to the back (outside the driver's 50-entry sampling window):
     # the longest-streak entries — green in r01, r02, r03 AND r04, each with
     # an independent pytest behavioral gate. Rotate forward next round.
+    "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
     "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),
     "q_geometry": (q_geometry, SQL_GEOMETRY),
     "q_filter_trim": (q_filter_trim, SQL_FILTER_TRIM),

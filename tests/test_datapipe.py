@@ -652,3 +652,31 @@ def test_corpus_filter_report(spark):
                    4: "gopher", 5: "repetition"}
     kept = clean_corpus(docs, min_words=20).collect()
     assert [r["doc_id"] for r in kept] == [1] and kept[0]["text"] == good
+
+
+def test_url_quality_rules(spark):
+    """URL screening: every rule fires on its planted branch and the keep
+    verdict composes them; a port or query string alone never drops."""
+    from tesseract_wasm_spark.datapipe import urlfilter
+
+    rows = [
+        (1, "https://www.good.example.com/articles/post-1"),
+        (2, "https://ads.example/banner/2"),
+        (3, "https://cdn.tracker.example/pix/3"),
+        (4, "http://10.0.0.7/index/4"),
+        (5, "https://img.example.com/a/photo.JPG"),
+        (6, "https://deep.example.com/a/b/c/d/e/f/g/h/i/j/6"),
+        (7, "https://shop.example.com:8443/item?id=7"),
+        (8, "https://no-path.example.org"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urlfilter.url_quality(docs).collect()}
+    assert got[1]["keep"] and got[1]["host"] == "www.good.example.com"
+    assert got[1]["tld"] == "com" and got[1]["path_depth"] == 2
+    assert got[2]["blocked_domain"] and not got[2]["keep"]  # exact domain
+    assert got[3]["blocked_domain"] and not got[3]["keep"]  # subdomain
+    assert got[4]["is_ip_host"] and not got[4]["keep"]
+    assert got[5]["bad_ext"] and not got[5]["keep"]  # case-insensitive ext
+    assert got[6]["too_deep"] and got[6]["path_depth"] == 11 and not got[6]["keep"]
+    assert got[7]["has_port"] and got[7]["keep"]  # port+query: still keep
+    assert got[8]["keep"] and got[8]["path_depth"] == 0  # no path at all
