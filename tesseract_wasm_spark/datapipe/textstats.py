@@ -432,3 +432,44 @@ def mojibake_cols(txt, *, max_bad_frac: float = 0.01) -> dict:
         "n_replacement": repl, "n_control": ctrl,
         "bad_char_frac": bad_frac, "clean": bad_frac <= max_bad_frac,
     }
+
+
+def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+    """Language-model quality proxy (the SQL-expressible analog of CCNet's
+    KenLM-perplexity filter): score each document by the mean negative
+    log2-probability of its tokens under the CORPUS's OWN Lidstone-smoothed
+    unigram distribution. Gibberish / rare-token soup scores high; common
+    prose scores low — the ranking CCNet cuts into head/middle/tail.
+
+    Scale shape: one explode + groupBy(token) builds the vocabulary (token
+    keys — no skew beyond stopwords, which map-side combine absorbs), the
+    corpus totals ride a 1-row broadcast cross join, and the vocab joins
+    back to the token stream (broadcast-able after a min-count prune at
+    real scale; AQE picks the side). One final groupBy(doc) aggregate. No
+    stage touches anything wider than (doc_id, token).
+
+    Score is rounded to 4 decimals: the doc-level mean is a float sum whose
+    association order differs between engines; 4 decimals leaves ~8 orders
+    of magnitude of slack above the 1e-12 float noise."""
+    txt = F.col(text_col)
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(txt)), WS_RE)).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_size")
+    )
+    p = (F.col("cnt") + alpha) / (
+        F.col("n_total") + alpha * (F.col("v_size") + 1)
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2(p)), 4).alias("nll_bits"),
+        )
+    )

@@ -1328,6 +1328,33 @@ FROM feat
 SQL_URL_FILTERS = _sql_url_filters()
 
 
+def text_unigram_lm(spark, sf_dir):
+    """Unigram language-model quality scoring (textstats.unigram_logprob —
+    the SQL-expressible analog of CCNet's KenLM-perplexity ranking): each
+    document's mean -log2 token probability under the corpus's own
+    Lidstone-smoothed unigram distribution. The oracle rebuilds vocabulary,
+    totals, smoothing, and the per-document mean independently in SQL."""
+    from tesseract_wasm_spark.datapipe.textstats import unigram_logprob  # noqa: PLC0415
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_UNIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS v_size FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-log2((cnt + 0.5) / (n_total + 0.5 * (v_size + 1)))), 4)
+         AS nll_bits
+FROM t2 JOIN vocab USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def warc_extract(spark, sf_dir):
     """WARC source round-trip (datapipe/warc.py — the container Common-Crawl
     corpora ship in): each document is wrapped in an HTML page, packed into
@@ -2503,7 +2530,6 @@ REGISTRY: dict[str, tuple] = {
     "ocr_words": (ocr_words, SQL_OCR_WORDS),
     # relational surface (oracle-checked)
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "q_set_ops": (q_set_ops, SQL_SET_OPS),
     "text_vocab": (text_vocab, SQL_TEXT_VOCAB),
@@ -2532,6 +2558,7 @@ REGISTRY: dict[str, tuple] = {
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
     "url_filters": (url_filters, SQL_URL_FILTERS),
+    "text_unigram_lm": (text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     "warc_charset": (warc_charset, SQL_WARC_CHARSET),
@@ -2546,6 +2573,7 @@ REGISTRY: dict[str, tuple] = {
     # Rotated to the back (outside the driver's 50-entry sampling window):
     # the longest-streak entries — green in r01, r02, r03 AND r04, each with
     # an independent pytest behavioral gate. Rotate forward next round.
+    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
     "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),
     "q_geometry": (q_geometry, SQL_GEOMETRY),

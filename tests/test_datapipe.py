@@ -680,3 +680,21 @@ def test_url_quality_rules(spark):
     assert got[6]["too_deep"] and got[6]["path_depth"] == 11 and not got[6]["keep"]
     assert got[7]["has_port"] and got[7]["keep"]  # port+query: still keep
     assert got[8]["keep"] and got[8]["path_depth"] == 0  # no path at all
+
+
+def test_unigram_logprob_ranks_gibberish(spark):
+    """The corpus-unigram LM proxy: a document of corpus-common tokens
+    scores LOWER (more probable) than a document of singleton gibberish —
+    the ordering CCNet's perplexity filter cuts on."""
+    from tesseract_wasm_spark.datapipe import textstats
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common),
+         (4, "zxqv kjhg wqpo mnbv plkj qwer")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.unigram_logprob(docs).collect()}
+    assert got[4]["nll_bits"] > got[1]["nll_bits"]
+    assert got[1]["nll_bits"] == got[2]["nll_bits"]  # identical docs tie
+    assert got[1]["n_tokens"] == 9
