@@ -65,7 +65,7 @@ def _ensure_corpus(cores: int) -> None:
 # number is floor-dominated and understates the engine (round-4 judge item)
 N_MIXED = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_PAGES", str(2 * N_PAGES)))
 MIXED_CORPUS_PATH = os.environ.get(
-    "SPARK_GRAFT_BENCH_MIXED", f"/tmp/twspark_bench_mixed_v1_{N_MIXED}.parquet"
+    "SPARK_GRAFT_BENCH_MIXED", f"/tmp/twspark_bench_mixed_v2_{N_MIXED}.parquet"
 )
 
 

@@ -307,7 +307,9 @@ def mixed_corpus_df(spark, n_pages: int, seed: int = 11, partitions: int | None 
         sdf = sdf.repartition(partitions)
 
     def gen(iterator):
-        from tesseract_wasm_spark.datapipe.pdftext import make_simple_pdf  # noqa: PLC0415
+        from tesseract_wasm_spark.datapipe.pdftext import (  # noqa: PLC0415
+            make_modern_pdf, make_simple_pdf,
+        )
 
         for pdf in iterator:
             out = []
@@ -318,12 +320,22 @@ def mixed_corpus_df(spark, n_pages: int, seed: int = 11, partitions: int | None 
                 if kind == 2:  # html article
                     paras = [" ".join(_seeded_lines(rng, 1)) for _ in range(3)]
                     payload, truth = article_html(paras), "\n".join(paras)
-                elif kind == 3:  # pdf
+                elif kind == 3:  # pdf (classic + modern containers)
                     lines = _seeded_lines(rng, int(rng.integers(3, 7)))
-                    payload = make_simple_pdf(
-                        lines, compress=(pid % 8 == 3),
-                        operators="mixed" if pid % 3 == 0 else "tj",
-                    )
+                    if pid % 16 == 7:  # PDF 1.5: xref stream + ObjStm + CID
+                        payload = make_modern_pdf(
+                            lines, predictor=(pid % 32 == 7)
+                        )
+                    elif pid % 16 == 15:  # armored filter cascade
+                        payload = make_modern_pdf(
+                            lines,
+                            content_filters=("ASCII85Decode", "FlateDecode"),
+                        )
+                    else:
+                        payload = make_simple_pdf(
+                            lines, compress=(pid % 8 == 3),
+                            operators="mixed" if pid % 3 == 0 else "tj",
+                        )
                     truth = "\n".join(lines)
                 else:  # DRF page image
                     lines = _seeded_lines(rng, int(rng.integers(4, 14)))
