@@ -1355,6 +1355,36 @@ GROUP BY doc_id
 """
 
 
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing (datapipe/packing.py — the GPT-style
+    concat-and-chunk manifest): per-shard running token sums assign every
+    document its sequence id and offset, no global sort, no payload
+    movement. The oracle re-runs the identical window arithmetic in SQL."""
+    from tesseract_wasm_spark.datapipe.packing import pack_sequences as _pack  # noqa: PLC0415
+
+    return _pack(_t(spark, sf_dir, "documents"))
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS cum_before
+  FROM t)
+SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(cum_before / 2048.0) AS BIGINT) AS seq_id,
+       CAST(cum_before % 2048 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+
+
 def warc_extract(spark, sf_dir):
     """WARC source round-trip (datapipe/warc.py — the container Common-Crawl
     corpora ship in): each document is wrapped in an HTML page, packed into
@@ -1462,6 +1492,46 @@ WITH {_sql_gopher_cols('documents')}
 SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
        bullet_line_frac, ellipsis_line_frac, keep
 FROM gk
+"""
+
+
+def corpus_datasheet(spark, sf_dir):
+    """Per-source corpus datasheet — the rollup every dataset release ships
+    (docs, token volume, mean quality, Gopher keep-rate): composition of
+    quality_score × gopher_rules × one groupBy(source). The oracle rebuilds
+    both feature sets from their own SQL fragments (shared verbatim with
+    the standalone text_quality / text_gopher_rules oracles) and
+    re-aggregates independently."""
+    from tesseract_wasm_spark.datapipe.textstats import (  # noqa: PLC0415
+        gopher_rules, quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "ws_tokens", "quality")
+    g = gopher_rules(docs).select("doc_id", "keep")
+    j = docs.select("doc_id", "source").join(q, "doc_id").join(g, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+        F.sum(F.col("keep").cast("int")).alias("n_gopher_keep"),
+        F.round(F.avg(F.col("keep").cast("double")), 4).alias("gopher_keep_rate"),
+    )
+
+
+SQL_CORPUS_DATASHEET = f"""
+WITH {_sql_gopher_cols('documents')},
+q AS ({SQL_TEXT_QUALITY})
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(q.ws_tokens) AS total_tokens,
+       round(avg(q.quality), 4) AS mean_quality,
+       sum(CAST(gk.keep AS INT)) AS n_gopher_keep,
+       round(avg(CAST(gk.keep AS DOUBLE)), 4) AS gopher_keep_rate
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN gk ON gk.doc_id = d.doc_id
+GROUP BY d.source
 """
 
 
@@ -2530,8 +2600,6 @@ REGISTRY: dict[str, tuple] = {
     "ocr_words": (ocr_words, SQL_OCR_WORDS),
     # relational surface (oracle-checked)
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "q_window_running": (q_window_running, SQL_WINDOW_RUNNING),
-    "q_set_ops": (q_set_ops, SQL_SET_OPS),
     "text_vocab": (text_vocab, SQL_TEXT_VOCAB),
     # training-data pipeline (oracle-checked where SQL-expressible)
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
@@ -2559,6 +2627,8 @@ REGISTRY: dict[str, tuple] = {
     "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
     "url_filters": (url_filters, SQL_URL_FILTERS),
     "text_unigram_lm": (text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "pack_sequences": (pack_sequences, SQL_PACK_SEQUENCES),
+    "corpus_datasheet": (corpus_datasheet, SQL_CORPUS_DATASHEET),
     "extract_mixed": (extract_mixed, SQL_EXTRACT_MIXED),
     "warc_extract": (warc_extract, SQL_WARC_EXTRACT),
     "warc_charset": (warc_charset, SQL_WARC_CHARSET),
@@ -2573,6 +2643,8 @@ REGISTRY: dict[str, tuple] = {
     # Rotated to the back (outside the driver's 50-entry sampling window):
     # the longest-streak entries — green in r01, r02, r03 AND r04, each with
     # an independent pytest behavioral gate. Rotate forward next round.
+    "q_window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "q_set_ops": (q_set_ops, SQL_SET_OPS),
     "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
     "q_case_orient": (q_case_orient, SQL_CASE_ORIENT),
     "q_rollup_line": (q_rollup_line, SQL_ROLLUP_LINE),

@@ -698,3 +698,23 @@ def test_unigram_logprob_ranks_gibberish(spark):
     assert got[4]["nll_bits"] > got[1]["nll_bits"]
     assert got[1]["nll_bits"] == got[2]["nll_bits"]  # identical docs tie
     assert got[1]["n_tokens"] == 9
+
+
+def test_pack_sequences_manifest(spark):
+    """Concat-and-chunk packing: per-shard running offsets, boundary
+    crossings continue into the next sequence, shards never share
+    sequences."""
+    from tesseract_wasm_spark.datapipe import packing
+
+    rows = [
+        (1, "a", "w " * 1000), (2, "a", "w " * 1500), (3, "a", "w " * 100),
+        (4, "b", "w " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in
+           packing.pack_sequences(docs, target_tokens=2048).collect()}
+    assert (got[1]["seq_id"], got[1]["offset_in_seq"]) == (0, 0)
+    assert (got[2]["seq_id"], got[2]["offset_in_seq"]) == (0, 1000)
+    # doc 3 starts at 2500 -> second sequence, offset 452
+    assert (got[3]["seq_id"], got[3]["offset_in_seq"]) == (1, 452)
+    assert (got[4]["seq_id"], got[4]["offset_in_seq"]) == (0, 0)  # new shard
