@@ -718,3 +718,20 @@ def test_pack_sequences_manifest(spark):
     # doc 3 starts at 2500 -> second sequence, offset 452
     assert (got[3]["seq_id"], got[3]["offset_in_seq"]) == (1, 452)
     assert (got[4]["seq_id"], got[4]["offset_in_seq"]) == (0, 0)  # new shard
+
+
+def test_url_quality_prunes_payload_columns(spark, tmp_path):
+    """The scale claim behind url_filters: screening reads ONLY the url
+    column, so the parquet scan's ReadSchema must exclude text/payload —
+    dropped rows never cost their bytes."""
+    from tesseract_wasm_spark.datapipe import urlfilter
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "https://a.example.com/x", "BIGPAYLOAD" * 10)],
+        "doc_id long, url string, text string",
+    ).write.parquet(p)
+    df = urlfilter.url_quality(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" not in scan[0], scan
