@@ -52,6 +52,14 @@ def main() -> None:
                     help="path to a TWSM2 trained-weight blob "
                          "(lstm_ctc.export_lstm_model); shipped to every "
                          "worker — the cluster form of loadModel")
+    ap.add_argument("--url-filter", action="store_true",
+                    help="apply the URL screening gate (datapipe/urlfilter: "
+                         "blocklist, IP hosts, media extensions, path-depth "
+                         "traps) BEFORE extraction — dropped rows never read "
+                         "their payload bytes")
+    ap.add_argument("--url-blocklist", default=None,
+                    help="optional domain blocklist file (one registrable "
+                         "domain per line) replacing the built-in default")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under a real cluster master)")
@@ -68,6 +76,23 @@ def main() -> None:
         pages = read_warc(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
+    if args.url_filter:
+        from pyspark.sql import functions as F
+
+        from tesseract_wasm_spark.datapipe.urlfilter import (
+            DEFAULT_BLOCKLIST, url_quality_cols,
+        )
+
+        blocklist = DEFAULT_BLOCKLIST
+        if args.url_blocklist:
+            with open(args.url_blocklist) as fh:
+                blocklist = tuple(
+                    ln.strip() for ln in fh if ln.strip()
+                    and not ln.startswith("#")
+                )
+        pages = pages.filter(
+            url_quality_cols(F.col("url"), blocklist=blocklist)["keep"]
+        )
     blob = None
     if args.model_blob:
         with open(args.model_blob, "rb") as fh:
