@@ -56,10 +56,9 @@ def language_id(docs: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFra
     return scored.withColumn("pred_lang", pred)
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic document-quality features + composite score (length, token
-    shape, punctuation density, stopword ratio)."""
-    txt = F.col("text")
+def quality_cols(txt) -> dict:
+    """Expression form of quality_score over a text column (composable —
+    corpus_datasheet fuses these with gopher_cols into ONE scan)."""
     n_chars = F.length(txt)
     ws_tokens = F.size(F.split(F.trim(txt), WS_RE))
     punct = _count_matches(txt, "[^A-Za-z0-9\\s]")
@@ -73,15 +72,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0)) * 0.3,
         6,
     )
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars_computed"),
-        ws_tokens.alias("ws_tokens"),
-        mean_tok_len.alias("mean_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality"),
-    )
+    return {
+        "n_chars_computed": n_chars, "ws_tokens": ws_tokens,
+        "mean_token_len": mean_tok_len, "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio, "quality": score,
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality features + composite score (length, token
+    shape, punctuation density, stopword ratio)."""
+    cols = quality_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 ROLL_BASE = 257

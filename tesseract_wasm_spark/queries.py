@@ -1497,20 +1497,29 @@ FROM gk
 
 def corpus_datasheet(spark, sf_dir):
     """Per-source corpus datasheet — the rollup every dataset release ships
-    (docs, token volume, mean quality, Gopher keep-rate): composition of
-    quality_score × gopher_rules × one groupBy(source). The oracle rebuilds
-    both feature sets from their own SQL fragments (shared verbatim with
-    the standalone text_quality / text_gopher_rules oracles) and
-    re-aggregates independently."""
+    (docs, token volume, mean quality, Gopher keep-rate). Plan shape: the
+    quality AND gopher expression bundles are fused into ONE projection
+    over a SINGLE scan of the documents table, followed by one
+    map-side-combinable groupBy(source) — no joins, no second read of the
+    text bytes (at 100 TB the text column IS the table). The oracle
+    rebuilds both feature sets from their own SQL fragments (shared
+    verbatim with the standalone text_quality / text_gopher_rules oracles)
+    and re-aggregates independently through joins — a deliberately
+    DIFFERENT formulation, so a fusion bug cannot hide."""
     from tesseract_wasm_spark.datapipe.textstats import (  # noqa: PLC0415
-        gopher_rules, quality_score,
+        gopher_cols, quality_cols,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_score(docs).select("doc_id", "ws_tokens", "quality")
-    g = gopher_rules(docs).select("doc_id", "keep")
-    j = docs.select("doc_id", "source").join(q, "doc_id").join(g, "doc_id")
-    return j.groupBy("source").agg(
+    q = quality_cols(F.col("text"))
+    g = gopher_cols(F.col("text"))
+    one = docs.select(
+        "source",
+        q["ws_tokens"].alias("ws_tokens"),
+        q["quality"].alias("quality"),
+        g["keep"].alias("keep"),
+    )
+    return one.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("mean_quality"),
