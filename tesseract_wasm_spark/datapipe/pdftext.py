@@ -385,6 +385,7 @@ def make_modern_pdf(
     compress: bool = True,
     differences: dict[int, str] | None = None,
     content_filters: tuple[str, ...] | None = None,
+    columns: int = 1,
 ) -> bytes:
     """The post-2005 PDF container shape, deterministically: FlateDecode
     content, a /Type /XRef cross-reference STREAM (optionally behind the
@@ -399,7 +400,12 @@ def make_modern_pdf(
     (classic tables cannot reference ObjStm members — §7.5.7).
     ``content_filters`` overrides the content stream's /Filter with an
     explicit cascade (e.g. ("ASCII85Decode", "FlateDecode") — transfer
-    armor outside compression, decode order first-to-last)."""
+    armor outside compression, decode order first-to-last).
+    ``columns=2`` lays the lines out as TWO columns positioned via Tm and
+    DRAWN IN INTERLEAVED ORDER (row by row across columns) — the
+    real-world multi-column shape where stream order != reading order;
+    extract_pdf_bytes(order="position") must recover the original line
+    order."""
     import zlib  # noqa: PLC0415
 
     if objstm:
@@ -407,24 +413,41 @@ def make_modern_pdf(
     if cid:
         codes, cmap_src = _cid_encoding(lines)
 
-        def show(i: int, ln: str) -> str:
+        def show_op(i: int, ln: str) -> str:
             cbytes = b"".join(codes[c].to_bytes(2, "big") for c in ln)
             if i % 3 == 1:  # literal-string CIDs
-                return f"({_esc_bytes(cbytes).decode('latin-1')}) Tj 0 -14 Td"
-            return f"<{cbytes.hex().upper()}> Tj 0 -14 Td"
+                return f"({_esc_bytes(cbytes).decode('latin-1')}) Tj"
+            return f"<{cbytes.hex().upper()}> Tj"
     else:
         rev = {
             _AGL[name]: code
             for code, name in (differences or {}).items() if name in _AGL
         }
 
-        def show(i: int, ln: str) -> str:
+        def show_op(i: int, ln: str) -> str:
             coded = "".join(chr(rev[c]) if c in rev else c for c in ln)
             body = _esc_bytes(coded.encode("latin-1")).decode("latin-1")
-            return f"({body}) Tj 0 -14 Td"
+            return f"({body}) Tj"
 
-    shows = "\n".join(show(i, ln) for i, ln in enumerate(lines))
-    content = f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("latin-1")
+    if columns == 2:
+        # interleaved draw order across two Tm-positioned columns: the
+        # stream shows row 0 of col 1, row 0 of col 2, row 1 of col 1, ...
+        half = (len(lines) + 1) // 2
+        cols = [(72, list(enumerate(lines[:half]))),
+                (306, list(enumerate(lines[half:], start=half)))]
+        ops = []
+        for row in range(half):
+            for cx, col in cols:
+                if row < len(col):
+                    i, ln = col[row]
+                    ops.append(f"1 0 0 1 {cx} {720 - 14 * row} Tm "
+                               + show_op(i, ln))
+        shows = "\n".join(ops)
+        content = f"BT /F1 12 Tf\n{shows}\nET".encode("latin-1")
+    else:
+        shows = "\n".join(f"{show_op(i, ln)} 0 -14 Td"
+                          for i, ln in enumerate(lines))
+        content = f"BT /F1 12 Tf 72 720 Td\n{shows}\nET".encode("latin-1")
     if content_filters:  # explicit /Filter cascade (may include armor)
         content = _encode_filters(content, content_filters)
         if len(content_filters) == 1:
@@ -1276,17 +1299,55 @@ def _op_text_bytes(op: bytes, dec: FontDecoder | None = None) -> str:
     return _decode_codes(_unescape_raw(_STR_B.match(op).group(1)), dec)
 
 
-#: one alternation walking a text block in order: font selections (Tf) and
-#: show operators — the Tf operand is how per-font encodings (Differences
-#: tables, CID CMaps) switch on and off mid-stream
+#: one alternation walking a text block in order: font selections (Tf),
+#: text-positioning operators (Td/TD/Tm/TL/T*), and show operators — the Tf
+#: operand is how per-font encodings (Differences tables, CID CMaps) switch
+#: on and off mid-stream; the positioning operators feed the optional
+#: position-sorted reading order (order="position")
+_NUM = rb"-?[\d.]+"
 _TF_SHOW_B = _re.compile(
-    rb"/(?P<font>[A-Za-z0-9_.+-]+)\s+-?[\d.]+\s+Tf|(?P<show>"
-    + _SHOW_OP.encode("ascii").replace(b"(?s)", b"", 1) + rb")",
+    rb"/(?P<font>[A-Za-z0-9_.+-]+)\s+" + _NUM + rb"\s+Tf"
+    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+(?P<tdop>TD|Td)"
+    rb"|(?P<tm>(?:" + _NUM + rb"\s+){6})Tm"
+    rb"|(?P<tl>" + _NUM + rb")\s+TL"
+    rb"|(?P<tstar>T\*)"
+    rb"|(?P<show>" + _SHOW_OP.encode("ascii").replace(b"(?s)", b"", 1) + rb")",
     _re.S,
 )
 
 
-def extract_pdf_bytes(raw: bytes) -> str:
+#: x-gap (text-space units) that separates column bands — half an inch of
+#:   gutter at 72 dpi; narrower gaps are indentation, not columns
+COLUMN_GUTTER = 90.0
+
+
+def _position_sort(runs: list[tuple[float, float, str]]) -> list[str]:
+    """Order text runs for READING, not drawing: cluster line-start x
+    values into column bands (gap > COLUMN_GUTTER), then read each band
+    left-to-right, top-down (descending y — PDF y grows upward). One band
+    degenerates to plain top-down/left-right ordering. This is the classic
+    multi-column recovery (pdftotext's reading-order mode): a two-column
+    paper drawn in interleaved order comes back column by column."""
+    if not runs:
+        return []
+    xs = sorted({x for x, _y, _t in runs})
+    bands: list[float] = [xs[0]]
+    for x in xs[1:]:
+        if x - bands[-1] > COLUMN_GUTTER:
+            bands.append(x)
+
+    def band_of(x: float) -> int:
+        b = 0
+        for i, start in enumerate(bands):
+            if x >= start - COLUMN_GUTTER / 2:
+                b = i
+        return b
+
+    keyed = [(band_of(x), -y, x, i, t) for i, (x, y, t) in enumerate(runs)]
+    return [t for *_k, t in sorted(keyed)]
+
+
+def extract_pdf_bytes(raw: bytes, *, order: str = "stream") -> str:
     """Full byte-level PDF text extraction over the real-world container:
 
     1. structural stream scan (_find_streams: balanced dicts, /Length-sliced
@@ -1307,7 +1368,13 @@ def extract_pdf_bytes(raw: bytes) -> str:
        indirect) and Type0 composite fonts decode 2-byte CIDs through
        their /ToUnicode CMap (bfchar + bfrange, both dst forms). The text
        font is graphics state, so the active font persists across BT
-       blocks and stream boundaries."""
+       blocks and stream boundaries.
+
+    ``order``: "stream" (default) emits runs in draw order — the behavior
+    every oracle pins; "position" tracks the text-positioning operators
+    (Td/TD/Tm/TL/T*) and re-orders runs for READING via column-band
+    clustering (_position_sort) — multi-column PDFs drawn in interleaved
+    order come back column by column."""
     streams = _find_streams(raw)
     objstm_members: dict[int, bytes] = {}
     stream_data: dict[int, bytes] = {}
@@ -1344,26 +1411,51 @@ def extract_pdf_bytes(raw: bytes) -> str:
         for body in objects.values()
         for m in _TOUNI_REF_B.finditer(body)
     }
+    positional = order == "position"
     dec: FontDecoder | None = None
     runs: list[str] = []
+    pos_runs: list[tuple[float, float, str]] = []
+    # text-positioning state (PDF 32000-1 §9.4.2): line start (x, y) and
+    # leading; BT resets the matrix, TL/leading persists (text state)
+    x = y = 0.0
+    leading = 0.0
     for objnum, data in text_streams:
         if objnum in skip:
             continue
         for block in _BT_ET_B.finditer(data):
-            if fonts:
+            if fonts or positional:
+                x = y = 0.0  # BT: text matrix reset to identity
                 for t in _TF_SHOW_B.finditer(block.group(1)):
                     if t.group("font") is not None:
                         dec = fonts.get(t.group("font"))
-                    else:
-                        runs.append(_op_text_bytes(t.group("show"), dec))
-            else:  # no encoded fonts anywhere: skip the Tf state machine
+                    elif t.group("show") is not None:
+                        text = _op_text_bytes(t.group("show"), dec)
+                        runs.append(text)
+                        pos_runs.append((x, y, text))
+                    elif not positional:
+                        continue  # stream order: positioning is a no-op
+                    elif t.group("tdop") is not None:
+                        x += float(t.group("tdx"))
+                        y += float(t.group("tdy"))
+                        if t.group("tdop") == b"TD":
+                            leading = -float(t.group("tdy"))
+                    elif t.group("tm") is not None:
+                        nums = [float(v) for v in t.group("tm").split()]
+                        x, y = nums[4], nums[5]  # e, f (translation)
+                    elif t.group("tl") is not None:
+                        leading = float(t.group("tl"))
+                    elif t.group("tstar") is not None:
+                        y -= leading
+            else:  # stream order, no encoded fonts: skip the state machine
                 for op in _SHOW_OP_B.finditer(block.group(1)):
                     runs.append(_op_text_bytes(op.group(0)))
+    if positional:
+        return "\n".join(_position_sort(pos_runs))
     return "\n".join(runs)
 
 
 def pdf_pages_text(pages: DataFrame, *, payload_col: str = "html",
-                   id_col: str = "url") -> DataFrame:
+                   id_col: str = "url", order: str = "stream") -> DataFrame:
     """Distributed byte-level extraction over (url, pdf binary) rows —
     handles compressed AND uncompressed streams. One vectorized pandas pass
     (per-row zlib inflate is C-speed; regex parse per document).
@@ -1381,7 +1473,7 @@ def pdf_pages_text(pages: DataFrame, *, payload_col: str = "html",
             errors: list[str | None] = []
             for b in pdf[payload_col]:
                 try:
-                    texts.append(extract_pdf_bytes(bytes(b)))
+                    texts.append(extract_pdf_bytes(bytes(b), order=order))
                     errors.append(None)
                 except Exception as exc:  # corrupt container: error-as-value
                     texts.append(None)

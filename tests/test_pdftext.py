@@ -505,3 +505,40 @@ def test_lzw_kwkwk_and_growth():
     for data in (b"ababababab", b"ab" * 9000, b"x" * 20000,
                  bytes(range(256)) * 40, b""):
         assert _lzw_decode(_lzw_encode(data)) == data, len(data)
+
+
+def test_position_reading_order():
+    """Multi-column recovery: a two-column file drawn in interleaved order
+    extracts column-by-column with order='position' (Td/Tm tracking +
+    column-band clustering), while stream order shows the interleave;
+    single-column files are invariant between the two modes."""
+    from tesseract_wasm_spark.datapipe.pdftext import (
+        extract_pdf_bytes, make_modern_pdf,
+    )
+
+    lines = ["col1 line one", "col1 line two", "col1 line three",
+             "col2 line one", "col2 line two", "col2 line three"]
+    pdf = make_modern_pdf(lines, columns=2)
+    assert extract_pdf_bytes(pdf, order="position") == "\n".join(lines)
+    stream = extract_pdf_bytes(pdf).splitlines()
+    assert stream[1] == "col2 line one"  # draw order really interleaves
+    one = make_modern_pdf(lines)
+    assert (extract_pdf_bytes(one, order="position")
+            == extract_pdf_bytes(one) == "\n".join(lines))
+
+
+def test_position_order_td_tl_tstar():
+    """The positioning state machine beyond Tm: TD sets leading, T* advances
+    by it, Td translates — a hand-written stream whose draw order is
+    bottom-up comes back top-down."""
+    from tesseract_wasm_spark.datapipe.pdftext import extract_pdf_bytes
+
+    body = (b"%PDF-1.4\n<< /Length 0 >>\nstream\nBT\n"
+            b"1 0 0 1 72 600 Tm (bottom line) Tj\n"
+            b"1 0 0 1 72 700 Tm 14 TL (top line) Tj\n"
+            b"T* (middle line) Tj\n"          # 700 - 14 = 686
+            b"ET\nendstream\n%%EOF")
+    assert extract_pdf_bytes(body, order="position") == (
+        "top line\nmiddle line\nbottom line"
+    )
+    assert extract_pdf_bytes(body).splitlines()[0] == "bottom line"
