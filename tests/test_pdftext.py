@@ -542,3 +542,36 @@ def test_position_order_td_tl_tstar():
         "top line\nmiddle line\nbottom line"
     )
     assert extract_pdf_bytes(body).splitlines()[0] == "bottom line"
+
+
+def test_modern_container_corruption_never_raises():
+    """The 10^12-row contract: ANY corruption of a modern-container PDF —
+    truncation at every region, bit flips in xref/ObjStm/CMap/content,
+    doubled or shuffled fragments — must yield a string, never an
+    exception (errors are values at the pdf_pages_text/extract_any layer;
+    the parser itself degrades per layer)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tesseract_wasm_spark.datapipe.pdftext import (
+        extract_pdf_bytes, make_modern_pdf,
+    )
+
+    base = make_modern_pdf(_CID_LINES)
+    n = len(base)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, n), st.integers(0, max(0, n - 1)),
+           st.binary(min_size=0, max_size=16), st.integers(0, 2))
+    def check(cut: int, at: int, junk: bytes, mode: int) -> None:
+        if mode == 0:  # truncate
+            raw = base[:cut]
+        elif mode == 1:  # splice junk
+            raw = base[:at] + junk + base[at:]
+        else:  # overwrite
+            raw = base[:at] + junk + base[at + len(junk):]
+        out = extract_pdf_bytes(raw)
+        assert isinstance(out, str)
+        # positional mode must be equally total
+        assert isinstance(extract_pdf_bytes(raw, order="position"), str)
+
+    check()
