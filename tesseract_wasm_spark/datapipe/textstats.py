@@ -437,7 +437,8 @@ def mojibake_cols(txt, *, max_bad_frac: float = 0.01) -> dict:
 
 
 def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
-                    id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+                    id_col: str = "doc_id", alpha: float = 0.5,
+                    vocab: DataFrame | None = None) -> DataFrame:
     """Language-model quality proxy (the SQL-expressible analog of CCNet's
     KenLM-perplexity filter): score each document by the mean negative
     log2-probability of its tokens under the CORPUS's OWN Lidstone-smoothed
@@ -453,13 +454,20 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
 
     Score is rounded to 4 decimals: the doc-level mean is a float sum whose
     association order differs between engines; 4 decimals leaves ~8 orders
-    of magnitude of slack above the 1e-12 float noise."""
+    of magnitude of slack above the 1e-12 float noise.
+
+    Self-contained form scans the text column once per derived stream
+    (score tokens, vocabulary, totals — 3 scans; Catalyst does not dedup
+    common subplans). At 100 TB pass a PERSISTED/precomputed ``vocab``
+    ((token, cnt) — e.g. text_vocab's output written once) and the plan
+    drops to the inherent single scoring scan plus the tiny vocab read."""
     txt = F.col(text_col)
     toks = docs.select(
         id_col,
         F.explode(F.split(F.trim(F.lower(txt)), WS_RE)).alias("token"),
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    if vocab is None:
+        vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").alias("n_total"), F.count("*").alias("v_size")
     )
