@@ -45,6 +45,9 @@ HEADLINE_QUERIES = [
     # round-4 operators (all sub-1.5 s single-pass/groupBy shapes at sf0.1)
     "text_line_dedup", "text_repetition", "text_gopher_rules",
     "html_charset", "warc_extract",
+    # round-5 operators (cheap shapes only; the python-heavy pdf container
+    # round-trips are covered by the mixed lane instead)
+    "url_filters", "pack_sequences", "corpus_datasheet", "text_unigram_lm",
 ]
 
 
