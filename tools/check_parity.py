@@ -59,9 +59,11 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
@@ -101,6 +103,8 @@ def main() -> None:
         else:
             print(f"OK   {name}: {len(srows)} rows, hash match")
     spark.stop()
+    # one unambiguous summary line — survives any tail/grep truncation
+    print(f"SUMMARY: {checked - failures}/{checked} green, {failures} failed")
     sys.exit(1 if failures else 0)
 
 
