@@ -178,6 +178,51 @@ def main_content_expr(html: Column) -> Column:
     return F.array_join(F.transform(_kept_blocks(html), lambda b: b["txt"]), "\n")
 
 
+#: a block whose density falls below this fraction of the page's best block
+#: is boilerplate (share bars, related-posts stubs) — the Readability-style
+#: relative cut, vs the absolute link-ratio threshold of main_content_expr
+DENSITY_KEEP_FRAC = 0.25
+
+
+def _density_of(b: Column) -> Column:
+    """Readability-style block score: (non-link chars)^2 / total chars —
+    rewards long runs of plain text, punishes link-dominated and tiny
+    blocks quadratically. Plain multiplication (not pow) so the DuckDB
+    twin's arithmetic is bit-identical."""
+    nonlink = (F.length(b["txt"]) - b["link_len"]).cast("double")
+    return nonlink * nonlink / F.greatest(F.length(b["txt"]), F.lit(1)).cast("double")
+
+
+def density_main_text_expr(html: Column) -> Column:
+    """Text-DENSITY main-content selection — the Readability-family
+    alternative to the absolute link-ratio rule: every non-empty block is
+    scored (non-link chars)^2/chars and blocks under DENSITY_KEEP_FRAC of
+    the page's best block are dropped. Catches what the absolute rule
+    cannot: short link-free boilerplate ("Share this post", related-posts
+    stubs) that passes any link threshold but is tiny next to the article.
+    Pure array expressions over the same shared block pipeline — still one
+    scan, whole-stage codegen."""
+    segs = F.split(_strip_containers(html), _BLOCK_SPLIT)
+    blocks = F.transform(
+        segs,
+        lambda s: F.struct(
+            _block_text(s).alias("txt"),
+            F.coalesce(
+                F.length(
+                    F.array_join(F.regexp_extract_all(s, F.lit(_ANCHOR_TEXT), 1), "")
+                ),
+                F.lit(0),
+            ).alias("link_len"),
+        ),
+    )
+    nonempty = F.filter(blocks, lambda b: b["txt"] != "")
+    mx = F.coalesce(
+        F.array_max(F.transform(nonempty, _density_of)), F.lit(0.0)
+    )
+    kept = F.filter(nonempty, lambda b: _density_of(b) >= DENSITY_KEEP_FRAC * mx)
+    return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
+
+
 def block_quality_expr(txt: Column) -> Column:
     """The textstats.quality_score composite applied to ONE block's text —
     identical constants/rounding so the DuckDB twin reproduces it exactly."""

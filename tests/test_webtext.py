@@ -406,3 +406,32 @@ def test_charset_round_trip_property(spark):
         .collect()
     )
     assert bad == [], bad[:3]
+
+
+def test_density_main_text(spark):
+    """The Readability-family relative cut: short LINK-FREE boilerplate
+    ("Share this post") passes any absolute link-ratio rule but falls under
+    DENSITY_KEEP_FRAC of the article block's score — density drops it; the
+    absolute extractor (main_content_expr) keeps it. Link farms drop under
+    both. On a page whose blocks are all comparable, density keeps all."""
+    from tesseract_wasm_spark.datapipe.webtext import (
+        density_main_text_expr, main_content_expr,
+    )
+
+    article = "word " * 120
+    page = ("<html><body><article><p>" + article + "</p></article>"
+            "<p>Share this post</p>"
+            '<p><a href="/a">home</a> <a href="/b">tags</a></p>'
+            "</body></html>")
+    balanced = ("<html><body><p>first paragraph of comparable size here</p>"
+                "<p>second paragraph of comparable size too</p></body></html>")
+    df = spark.createDataFrame([(1, page), (2, balanced)], "id long, h string")
+    got = {r["id"]: (r["d"], r["a"]) for r in df.select(
+        "id", density_main_text_expr(F.col("h")).alias("d"),
+        main_content_expr(F.col("h")).alias("a")).collect()}
+    dens, absolute = got[1]
+    assert "Share this post" not in dens          # relative cut drops it
+    assert "Share this post" in absolute          # absolute rule keeps it
+    assert "home" not in dens and article.strip() in dens
+    d2, _ = got[2]
+    assert "first paragraph" in d2 and "second paragraph" in d2
