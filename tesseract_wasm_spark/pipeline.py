@@ -232,11 +232,13 @@ def extract_any(
     rebalance: bool = True,
     num_partitions: int | None = None,
     model_blob: bytes | None = None,
+    pdf_order: str = "stream",
 ) -> DataFrame:
     """Unified main-content extraction over a mixed Common-Crawl-style table:
     dispatch per payload — DRF page images through the OCR engine, PDFs
-    through the byte-level stream parser (handles FlateDecode, the real-world
-    shape), HTML through the relational boilerplate-strip extractor
+    through the byte-level container parser (xref streams, ObjStm, filter
+    cascades, CID fonts; ``pdf_order="position"`` opts into multi-column
+    reading-order recovery), HTML through the relational boilerplate-strip extractor
     (datapipe/webtext.py), and known-but-undecodable image formats (PNG/JPEG)
     to explicit error rows. Returns (url, kind, text_out, error); errors stay
     values (a bad payload must not kill a 10^12-row job).
@@ -357,7 +359,7 @@ def extract_any(
                     errors.append(res.error)
                 elif k == "pdf":
                     try:
-                        texts.append(extract_pdf_bytes(bytes(raw)))
+                        texts.append(extract_pdf_bytes(bytes(raw), order=pdf_order))
                         errors.append(None)
                     except Exception as exc:  # corrupt container: error-as-value
                         texts.append(None)

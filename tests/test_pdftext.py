@@ -575,3 +575,18 @@ def test_modern_container_corruption_never_raises():
         assert isinstance(extract_pdf_bytes(raw, order="position"), str)
 
     check()
+
+
+def test_extract_any_pdf_order_option(spark):
+    """extract_any exposes the reading-order knob: a two-column modern PDF
+    dispatches through the pdf branch and comes back in column order with
+    pdf_order='position'."""
+    from tesseract_wasm_spark.datapipe.pdftext import make_modern_pdf
+
+    lines = ["c1 a", "c1 b", "c2 a", "c2 b"]
+    pages = spark.createDataFrame(
+        [("u", bytearray(make_modern_pdf(lines, columns=2)))],
+        "url string, html binary",
+    )
+    row = extract_any(pages, pdf_order="position").collect()[0]
+    assert row["kind"] == "pdf" and row["text_out"] == "\n".join(lines)
