@@ -1437,6 +1437,64 @@ FROM feat
 SQL_URL_FILTERS = _sql_url_filters()
 
 
+def robots_allowed(spark, sf_dir):
+    """robots.txt politeness gate (datapipe/robots.py — RFC 9309: group
+    selection by most-specific User-agent, longest-match rules, Allow wins
+    ties, * wildcards + $ anchors, default allow). Two hosts carry fixed
+    robots files; each document's url exercises one branch (doc_id%6):
+    plain page, Disallowed subtree, the LONGER Allow carve-out inside it,
+    a wildcard+$ .json rule, a deny-all host, and a host with no
+    robots.txt. The oracle re-derives the verdict from the same doc_id
+    arithmetic — the rules are fixed, so the expected decision per branch
+    is exact (plant-arithmetic analytic oracle)."""
+    from tesseract_wasm_spark.datapipe.robots import (  # noqa: PLC0415
+        robots_gate, robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.example.com",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+          "Disallow: /*.json$"),
+         ("b.example.com", "User-agent: twsparkbot\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 6 == 1, F.concat(F.lit("https://a.example.com/private/p-"), d))
+        .when(d % 6 == 2, F.concat(F.lit("https://a.example.com/private/pub/p-"), d))
+        .when(d % 6 == 3, F.concat(F.lit("https://a.example.com/api/feed-"), d,
+                                   F.lit(".json")))
+        .when(d % 6 == 4, F.concat(F.lit("https://b.example.com/page-"), d))
+        .when(d % 6 == 5, F.concat(F.lit("https://norobots.example.com/page-"), d))
+        .otherwise(F.concat(F.lit("https://a.example.com/articles/p-"), d))
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return robots_gate(pages, rules).select("doc_id", "url", "allowed")
+
+
+SQL_ROBOTS_ALLOWED = """
+SELECT doc_id,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 1 THEN 'https://a.example.com/private/p-' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN 'https://a.example.com/private/pub/p-' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://a.example.com/api/feed-' || CAST(doc_id AS VARCHAR) || '.json'
+    WHEN 4 THEN 'https://b.example.com/page-' || CAST(doc_id AS VARCHAR)
+    WHEN 5 THEN 'https://norobots.example.com/page-' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://a.example.com/articles/p-' || CAST(doc_id AS VARCHAR)
+  END AS url,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 1 THEN FALSE   -- Disallow: /private/
+    WHEN 2 THEN TRUE    -- longer Allow: /private/pub/ wins
+    WHEN 3 THEN FALSE   -- wildcard /*.json$ matches
+    WHEN 4 THEN FALSE   -- deny-all host
+    WHEN 5 THEN TRUE    -- no robots.txt -> allowed
+    ELSE TRUE           -- no rule matches
+  END AS allowed
+FROM documents
+"""
+
+
 def text_unigram_lm(spark, sf_dir):
     """Unigram language-model quality scoring (textstats.unigram_logprob —
     the SQL-expressible analog of CCNet's KenLM-perplexity ranking): each
@@ -2746,6 +2804,7 @@ REGISTRY: dict[str, tuple] = {
     "pdf_text_objstm": (pdf_text_objstm, SQL_PDF_TEXT_OBJSTM),
     "pdf_text_columns": (pdf_text_columns, SQL_PDF_TEXT_COLUMNS),
     "url_filters": (url_filters, SQL_URL_FILTERS),
+    "robots_allowed": (robots_allowed, SQL_ROBOTS_ALLOWED),
     "text_unigram_lm": (text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "pack_sequences": (pack_sequences, SQL_PACK_SEQUENCES),
     "corpus_datasheet": (corpus_datasheet, SQL_CORPUS_DATASHEET),

@@ -735,3 +735,48 @@ def test_url_quality_prunes_payload_columns(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "text" not in scan[0], scan
+
+
+def test_robots_parse_semantics():
+    """RFC 9309: group selection (exact token beats *, groups not merged),
+    longest-match with Allow winning ties, * wildcards, $ end anchor,
+    prefix semantics, default allow."""
+    from tesseract_wasm_spark.datapipe.robots import allowed, parse_robots
+
+    txt = ("User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+           "Disallow: /tmp\nDisallow: /*.json$\n\n"
+           "User-agent: twsparkbot\nDisallow: /bot-only/\n")
+    star = parse_robots(txt, agent="someone-else")
+    bot = parse_robots(txt, agent="twsparkbot")
+    assert not allowed("/private/x", star)
+    assert allowed("/private/pub/x", star)      # longer Allow wins
+    assert not allowed("/tmp-file", star)       # prefix semantics
+    assert not allowed("/data/feed.json", star)  # wildcard + $ anchor
+    assert allowed("/data/feed.jsonl", star)    # $ means end
+    assert allowed("/private/x", bot)           # specific group REPLACES *
+    assert not allowed("/bot-only/x", bot)
+    assert allowed("/x", [])                    # no robots -> allowed
+
+
+def test_robots_gate_relational(spark):
+    """The broadcast-rules gate end to end: per-host verdicts incl. a
+    deny-all host and a host with no robots.txt."""
+    from tesseract_wasm_spark.datapipe.robots import robots_gate, robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.example.com",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/pub/"),
+         ("b.example.com", "User-agent: twsparkbot\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://a.example.com/ok"),
+         (2, "https://a.example.com/private/x"),
+         (3, "https://a.example.com/private/pub/x"),
+         (4, "https://b.example.com/anything"),
+         (5, "https://norobots.example.com/x")],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_gate(pages, robots_rules(robots)).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True}
