@@ -31,6 +31,7 @@ DEFAULT_VARIABLES: dict[str, str] = {
     # engine-specific knobs (documented extensions)
     "twspark_min_partial_overlap": "0.5",
     "twspark_orientation_margin": "5.0",
+    "twspark_degraded_retry": "1",
 }
 
 

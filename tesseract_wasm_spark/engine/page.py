@@ -127,6 +127,10 @@ def process_rgba(
       - ``twspark_min_partial_overlap``: replacement-char threshold
       - ``twspark_orientation_margin``: the up-vs-left decision margin
         (reference default 5.0, src/lib.cpp:280)
+      - ``twspark_degraded_retry``: "0" disables the degraded-scan
+        recovery tier (engine/recognize.py) — blurred pages then degrade
+        to replacement chars instead of being re-matched against the
+        count-threshold template banks
     ``user_defined_dpi`` is stored for round-trip parity but has no pixel
     meaning for the synthetic raster model."""
     from tesseract_wasm_spark.font import LANG_CHARSETS  # noqa: PLC0415
@@ -138,6 +142,7 @@ def process_rgba(
     preserve_spaces = v.get("preserve_interword_spaces", "0") == "1"
     min_overlap = float(v.get("twspark_min_partial_overlap", "0.5"))
     orient_margin = float(v.get("twspark_orientation_margin", "5.0"))
+    degraded_retry = v.get("twspark_degraded_retry", "1") != "0"
 
     h, w = rgba.shape[:2]
     res = PageResult(width=w, height=h)
@@ -215,7 +220,8 @@ def process_rgba(
         )
     else:
         recognized = recognize_words(
-            mask, lines, whitelist=whitelist, min_partial_overlap=min_overlap, lang=lang
+            mask, lines, whitelist=whitelist, min_partial_overlap=min_overlap,
+            lang=lang, degraded_retry=degraded_retry,
         )
     wid = 0
     text_lines: list[str] = []

@@ -248,6 +248,48 @@ def fixture_rows(n_corpus_pages: int = 16, seed: int = 42) -> list[dict]:
     return rows
 
 
+def degraded_rows(n_corpus_pages: int = 20, seed: int = 77) -> list[dict]:
+    """Defocused-scan corpus: every payload is a 3x3 box-blurred render (the
+    deterministic analog of the reference's real-photo fixtures' optical
+    blur), ground truth = the clean text. The degraded-scan recovery tier
+    (engine/recognize.py) must re-extract every page byte-identically.
+
+    Includes targeted shapes next to the seeded pages: k/x-final words whose
+    blur bridges the inter-word gap (merged-word splitting), standalone 'I'
+    (the E/I degraded-bank collision the unigram prior breaks), and a
+    double-space line (gap-width survival through recovery)."""
+    from tesseract_wasm_spark.raster import degrade_page_drf  # noqa: PLC0415
+
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+
+    def add(name: str, lines: list[str], minute: int) -> None:
+        rows.append(
+            {
+                "url": f"https://fixtures.test/degraded/{name}",
+                "warc_ts": BASE_TS + dt.timedelta(minutes=minute),
+                "html": degrade_page_drf(render_page_drf(lines)),
+                "text": expected_text(lines),
+                "lang": "eng",
+            }
+        )
+
+    add("merge-kx", ["look go here", "Spark at dawn", "fox on the run"], 0)
+    add("pronoun-I", ["I am here", "so I went", "I I I"], 1)
+    add("gaps", ["up down", "left right middle"], 2)
+    for i in range(n_corpus_pages):
+        lines = _seeded_lines(rng, int(rng.integers(3, 12)))
+        add(f"page-{i:04d}", lines, 10 + i)
+    return rows
+
+
+def degraded_df(spark, n_corpus_pages: int = 20, seed: int = 77):
+    """Degraded pages table as a Spark DataFrame (deterministic)."""
+    return spark.createDataFrame(
+        pd.DataFrame(degraded_rows(n_corpus_pages, seed)), schema=PAGES_DDL
+    )
+
+
 def fixtures_pandas(n_corpus_pages: int = 16, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(fixture_rows(n_corpus_pages, seed))
 

@@ -2248,6 +2248,28 @@ JOIN read_parquet('{_golden('fixture_pages')}') p ON p.url = g.url
 """
 
 
+def ocr_text_degraded(spark, sf_dir):
+    """getText over the box-blur DEGRADED fixture corpus — every payload is a
+    defocused scan (fixtures.degraded_rows; the deterministic analog of the
+    optical blur in the reference's photo fixtures, test/small-frog.jpg).
+    The engine's degraded-scan recovery tier (engine/recognize.py: count-
+    threshold template banks + alignment search + verified gap repair) must
+    recover every page; the oracle is the fixtures' GROUND-TRUTH text — a
+    hash match asserts byte-identical recovery of the north-rule invariant
+    itself, with no engine snapshot in the loop."""
+    from tesseract_wasm_spark.fixtures import degraded_df  # noqa: PLC0415
+    from tesseract_wasm_spark.outputs import page_text_df  # noqa: PLC0415
+    from tesseract_wasm_spark.pipeline import ocr_pages  # noqa: PLC0415
+
+    return page_text_df(ocr_pages(degraded_df(spark)))
+
+
+SQL_OCR_TEXT_DEGRADED = f"""
+SELECT url, text AS text_out
+FROM read_parquet('{_golden('degraded_pages')}')
+"""
+
+
 def ocr_words(spark, sf_dir):
     """getTextBoxes over the fixture corpus. The oracle is no longer a pure
     snapshot echo: only (text, rect, confidence, line_id) are golden values —
@@ -2766,6 +2788,7 @@ REGISTRY: dict[str, tuple] = {
     # -------------------------------------------------------------------
     # OCR engine surface (golden-parquet oracles; byte-identity additionally
     # gated by pytest goldens). First: not sampled by the r04 harness.
+    "ocr_text_degraded": (ocr_text_degraded, SQL_OCR_TEXT_DEGRADED),
     "ocr_confidence_hist": (ocr_confidence_hist, SQL_OCR_CONF_HIST),
     "ocr_lines": (ocr_lines, SQL_OCR_LINES),
     "ocr_layout": (ocr_layout, SQL_OCR_LAYOUT),

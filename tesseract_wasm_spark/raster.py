@@ -142,6 +142,40 @@ def expected_word_boxes(lines: list[str]) -> list[dict]:
     return out
 
 
+def degrade_boxblur(img: np.ndarray, passes: int = 1) -> np.ndarray:
+    """Deterministic 3x3 box-blur degradation of a rendered page — the
+    mildly-defocused-scan fixture (the reference's real-photo fixtures,
+    test/small-frog.jpg etc., carry optical blur the synthetic renderer
+    doesn't; this adds the same class of degradation deterministically).
+
+    Each interior pixel becomes the float mean of its 3x3 neighborhood,
+    truncated back to uint8 (edge rows/cols keep their original values).
+    On a two-level (INK/PAPER) render the blurred value is strictly
+    monotone in the 3x3 ink count, so *any* global threshold downstream
+    turns the blur into a count-threshold morphology of the clean ink mask
+    — exactly the family the recognizer's degraded-scan tier
+    (engine/recognize.py `_degraded_retry`) inverts.
+    """
+    out = img
+    for _ in range(passes):
+        a = out.astype(np.float32)
+        b = a.copy()
+        b[1:-1, 1:-1] = (
+            a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+            + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+            + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:]
+        ) / 9.0
+        out = np.clip(b, 0, 255).astype(np.uint8)
+    if img.ndim == 3 and img.shape[2] == 4:
+        out[..., 3] = img[..., 3]  # alpha is not an ink channel
+    return out
+
+
+def degrade_page_drf(payload: bytes, passes: int = 1) -> bytes:
+    """DRF payload -> box-blurred DRF payload (see degrade_boxblur)."""
+    return drf.encode(degrade_boxblur(drf.decode(payload), passes=passes))
+
+
 def _split_words(line: str) -> list[tuple[int, str]]:
     words = []
     col = 0

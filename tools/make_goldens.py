@@ -67,6 +67,10 @@ def main() -> None:
         fixtures_df(spark, n_corpus_pages=16).select("url", "html", "text"),
         "fixture_pages",
     )
+    # degraded corpus GROUND TRUTH (url + clean text only — no engine output):
+    # the ocr_text_degraded oracle compares the live recovery against it
+    from tesseract_wasm_spark.fixtures import degraded_df
+    write_golden(degraded_df(spark).select("url", "text"), "degraded_pages")
     # (no goldens needed for: ocr_lines — oracle re-derives the rollup from
     #  the ocr_words golden; ocr_layout — re-derived from ocr_words (the
     #  layout-only boxes ARE the word rects, reference ocr-engine.ts:236-239);
