@@ -158,6 +158,19 @@ def process_rgba(
     from tesseract_wasm_spark.engine.deskew import detect_shear_per_mille, unshear  # noqa: PLC0415
 
     k = detect_shear_per_mille(comps)
+    if k != 0 and degraded_retry and abs(k) <= 5:
+        # defocused scans thicken strokes and jitter the component-bottom
+        # fit by a row, which reads as a tiny spurious shear; unshearing
+        # would split thickened glyphs across column-shift boundaries and
+        # defeat the degraded-scan recovery tier. Sub-0.3 degree detections
+        # on a thick-stroke mask are noise, not skew (the genuine skew
+        # fixtures measure 17-60 per-mille).
+        from tesseract_wasm_spark.engine.recognize import (  # noqa: PLC0415
+            DEGRADED_MIN_THICKNESS, stroke_thickness,
+        )
+
+        if stroke_thickness(mask) >= DEGRADED_MIN_THICKNESS:
+            k = 0
     if k != 0:
         mask = unshear(mask, k)
         comps = _despeckle(label_components(mask))

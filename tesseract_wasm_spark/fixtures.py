@@ -335,6 +335,37 @@ def corpus_df(spark, n_pages: int, seed: int = 7, partitions: int | None = None)
     return sdf.mapInPandas(gen, schema=PAGES_DDL)
 
 
+def degraded_corpus_df(spark, n_pages: int, seed: int = 31, partitions: int | None = None):
+    """Volume-scale DEGRADED corpus (defocused scans): corpus_df's shape with
+    every payload box-blurred on the executors — the degraded-scan recovery
+    soak input (every page must still extract byte-identically)."""
+    from tesseract_wasm_spark.raster import degrade_page_drf  # noqa: PLC0415
+
+    specs = [(i, seed) for i in range(n_pages)]
+    sdf = spark.createDataFrame(specs, "page_id int, seed int")
+    if partitions:
+        sdf = sdf.repartition(partitions)
+
+    def gen(iterator):
+        for pdf in iterator:
+            out = []
+            for pid, sd in zip(pdf["page_id"], pdf["seed"]):
+                rng = np.random.default_rng((int(sd) << 32) | int(pid))
+                lines = _seeded_lines(rng, int(rng.integers(3, 12)))
+                out.append(
+                    {
+                        "url": f"https://degraded.test/page/{int(pid):08d}",
+                        "warc_ts": BASE_TS + dt.timedelta(seconds=int(pid)),
+                        "html": degrade_page_drf(render_page_drf(lines)),
+                        "text": expected_text(lines),
+                        "lang": "eng",
+                    }
+                )
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return sdf.mapInPandas(gen, schema=PAGES_DDL)
+
+
 def mixed_corpus_df(spark, n_pages: int, seed: int = 11, partitions: int | None = None):
     """Volume-scale MIXED corpus for soaking pipeline.extract_any: every
     fourth payload is HTML (article page), every fourth a PDF (alternating

@@ -126,6 +126,55 @@ def test_double_blur_graceful_not_crashing():
     assert isinstance(res.page_text, str)
 
 
+def test_spurious_shear_on_degraded_page_suppressed():
+    # volume-soak regression (seed 31, page 1611): blur jitter made the
+    # deskew fit read a 3-per-mille shear on an upright degraded page; the
+    # unshear then split thickened glyphs across column-shift boundaries.
+    # Tiny detections on a thick-stroke mask are treated as noise (genuine
+    # skew fixtures measure 17-60 per-mille).
+    rng = np.random.default_rng((31 << 32) | 1611)
+    lines = _seeded_lines(rng, int(rng.integers(3, 12)))
+    res = process_page(degrade_page_drf(render_page_drf(lines)),
+                       with_orientation=False)
+    assert res.skew_degrees == 0.0
+    assert res.page_text == expected_text(lines)
+
+
+def test_real_skew_still_applies_on_clean_pages():
+    # the suppression is gated on stroke thickness AND |k|<=5: genuine
+    # skewed clean scans keep byte-identical deskew extraction
+    from tesseract_wasm_spark.fixtures import SMALL_PAGE_LINES
+
+    res = process_page(render_page_drf(SMALL_PAGE_LINES, skew_per_mille=17),
+                       with_orientation=False)
+    assert res.skew_degrees != 0.0
+    assert res.page_text == expected_text(SMALL_PAGE_LINES)
+
+
+def test_extract_any_recovers_degraded_payloads(spark):
+    # degraded DRF payloads flow through the unified dispatch unchanged —
+    # the recovery tier lives inside the same ocr path every clean page uses
+    from pyspark.sql import functions as F
+
+    from tesseract_wasm_spark.fixtures import degraded_df
+    from tesseract_wasm_spark.pipeline import extract_any
+
+    pages = degraded_df(spark)
+    out = extract_any(pages)
+    agg = (
+        pages.select("url", "text")
+        .join(out, "url")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("text_out") == F.col("text"), 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        )
+        .collect()[0]
+    )
+    assert agg["n"] == 23
+    assert (agg["ok"], agg["errors"]) == (agg["n"], 0)
+
+
 @pytest.mark.parametrize("preserve", ["0", "1"])
 def test_preserve_interword_spaces_composes_with_recovery(preserve):
     pg = ["look go", "up  down"]  # double space survives only with preserve=1

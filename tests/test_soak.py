@@ -63,3 +63,30 @@ def test_soak_mixed_extraction(spark):
     )
     assert (agg["n"], agg["ok"], agg["errors"], agg["kinds"]) == (n, n, 0, 3)
     pages.unpersist()
+
+
+@pytest.mark.skipif(not os.environ.get("SPARK_GRAFT_SOAK"), reason="set SPARK_GRAFT_SOAK=1")
+def test_soak_degraded_recovery(spark):
+    """Volume soak for the degraded-scan recovery tier: every page is a
+    box-blurred (defocused) scan; the count-threshold recovery in
+    engine/recognize.py must still return byte-identical text for EVERY url
+    with zero error rows (goes through the same ocr_pages path as clean
+    pages — no special-casing in the pipeline)."""
+    from tesseract_wasm_spark.fixtures import degraded_corpus_df
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_SOAK_DEGRADED_PAGES", "4096"))
+    pages = degraded_corpus_df(spark, n_pages, seed=31, partitions=64).persist()
+    n = pages.count()
+    res = ocr_pages(pages, with_orientation=False)
+    agg = (
+        pages.select("url", "text")
+        .join(res.select("url", "page_text", "error"), "url")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("page_text") == F.col("text"), 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        )
+        .collect()[0]
+    )
+    assert (agg["n"], agg["ok"], agg["errors"]) == (n, n, 0)
+    pages.unpersist()
