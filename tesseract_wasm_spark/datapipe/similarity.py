@@ -45,24 +45,78 @@ def cosine_expr(a, b):
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
 
 
+def _seq_dots(mat: np.ndarray, other: np.ndarray) -> np.ndarray:
+    """[B, Q] matrix of dot products between every row of ``mat`` and every
+    row of ``other`` with SEQUENTIAL per-dimension accumulation — the exact
+    left-fold order of the JVM ``_dot`` expression (aggregate over zip_with),
+    so results are bit-identical to the relational formulation. One
+    vectorized [B, Q] fused multiply-add per dimension; never a BLAS matmul,
+    whose blocked/SIMD accumulation order would differ in the last ulp and
+    could flip a round(x, 4) boundary."""
+    acc = np.zeros((mat.shape[0], other.shape[0]), dtype=np.float64)
+    for k in range(mat.shape[1]):
+        acc += mat[:, k, None] * other[None, :, k]
+    return acc
+
+
+def _seq_norms(mat: np.ndarray) -> np.ndarray:
+    """Per-row Euclidean norms with the same sequential fold order as the JVM
+    ``_norm`` expression (sqrt of left-fold of squares); bit-identical."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for k in range(mat.shape[1]):
+        c = mat[:, k]
+        acc += c * c
+    return np.sqrt(acc)
+
+
 def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
-    """Exact cosine top-k: broadcast the selected query vectors against the
-    full corpus; rank per query with a deterministic tie-break."""
-    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    """Exact cosine top-k: the k query vectors are collected driver-side
+    (bounded — same contract as ivf_topk) and scored against the corpus in
+    one vectorized pass per Arrow batch; rank per query with a deterministic
+    tie-break.
+
+    r06 optimization (guide §4.2): the previous BroadcastNestedLoopJoin
+    evaluated the interpreted higher-order cosine expression (CodegenFallback)
+    per (query, corpus) row — and over a single-file local read it all ran in
+    ONE task. The kernel computes the same dots with sequential-order numpy
+    accumulation (bit-identical; see _seq_dots) spread across partitions."""
+    q_rows = sorted(
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    joined = (
-        embeddings.alias("c")
-        .join(F.broadcast(q), F.col("query_id") != F.col("c.vec_id"))
-        .select(
-            "query_id",
-            F.col("c.vec_id").alias("neighbor_id"),
-            cosine_expr(F.col("q_emb"), F.col("c.embedding")).alias("cosine"),
+    if not q_rows:
+        empty = embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    )
+        return empty
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    qnorm = _seq_norms(qmat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            # dot(q, c) with q as the zip_with LEFT side: products q[k]*c[k]
+            # (float multiply is commutative bitwise, so c[k]*q[k] is equal)
+            cos = _seq_dots(mat, qmat) / (qnorm[None, :] * _seq_norms(mat)[:, None])
+            ci, qi = np.nonzero(cids[:, None] != qids[None, :])
+            yield pd.DataFrame(
+                {"query_id": qids[qi], "neighbor_id": cids[ci], "cosine": cos[ci, qi]}
+            )
+
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+
+    scored = _spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        run, schema="query_id long, neighbor_id long, cosine double"
+    ).select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -206,7 +260,9 @@ def srp_multi_signatures(embeddings: DataFrame, *, n_bits: int = 3, n_tables: in
 
     types = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
     carry_ddl = "".join(f", {c} {types[c]}" for c in carry_cols)
-    return _spread(embeddings.select("vec_id", "embedding", *carry_cols)).mapInPandas(
+    sel = ["vec_id", "embedding"] + [c for c in carry_cols
+                                     if c not in ("vec_id", "embedding")]
+    return _spread(embeddings.select(*sel)).mapInPandas(
         run, schema=f"vec_id long, buckets array<long>{carry_ddl}"
     )
 
@@ -228,29 +284,73 @@ def srp_blocked_near_pairs(embeddings: DataFrame, *, threshold: float = 0.25,
     corpus — the scale lever for SRP is raising n_bits (more, smaller
     buckets), not dropping full ones. The knob exists for adversarial
     inputs (e.g. a corpus of near-identical vectors)."""
-    from tesseract_wasm_spark.datapipe.dedup import bucket_pairs  # noqa: PLC0415
-
     sigs = srp_multi_signatures(
-        embeddings, n_bits=n_bits, n_tables=n_tables, seed=seed, carry_cols=(block_col,)
+        embeddings, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        carry_cols=(block_col, "embedding"),
     )
     banded = sigs.select(
-        "vec_id", block_col, F.posexplode("buckets").alias("table_id", "bucket")
+        "vec_id", block_col, "embedding",
+        F.posexplode("buckets").alias("table_id", "bucket"),
     )
-    cands = (
-        bucket_pairs(banded, ["table_id", "bucket", block_col], id_col="vec_id",
-                     max_bucket=max_bucket)
-        .withColumnRenamed("doc_a", "vec_a")
-        .withColumnRenamed("doc_b", "vec_b")
+    # r06 optimization (guide §2.3/§4.2, measured in OPTIMIZATION_r06.md):
+    # the previous shape expanded every bucket's pairs with interpreted
+    # higher-order array expressions, shuffled the ~T-fold-duplicated
+    # candidate stream (a pair collides in ~T of the T tables at these
+    # parameters) through dropDuplicates, joined the embeddings back per
+    # candidate (pair_count * 2 * dim bytes), and then evaluated the
+    # interpreted cosine TWICE per pair (join condition + project). Instead:
+    # verify INSIDE each bucket group with a vectorized kernel — embeddings
+    # ride the banding shuffle once per table (n_tables * corpus bytes,
+    # independent of pair count), every pair's cosine is one numpy
+    # fused-multiply-add chain with the exact JVM fold order (_seq_dots:
+    # bit-identical), and only pairs that can pass the threshold cross back
+    # into the JVM, where the authoritative round(...,4) filter and the
+    # (now tiny, output-sized) distinct run. The candidate SET is unchanged:
+    # same buckets, same pairs, same drop policy for oversized buckets.
+    pre = threshold - 1e-4  # round(x,4) can raise x by at most 5e-5 + ulps
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64),
+             "cosine": np.empty(0, np.float64)}
+        )
+        if nrows < 2 or (max_bucket is not None and nrows > max_bucket):
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = _seq_norms(mat)
+        out = []
+        # row-chunked upper-triangle sweep bounds memory on degenerate buckets
+        chunk = max(1, (4 << 20) // nrows)
+        for i0 in range(0, nrows - 1, chunk):
+            i1 = min(i0 + chunk, nrows)
+            cos = _seq_dots(mat[i0:i1], mat) / (
+                norms[i0:i1, None] * norms[None, :]
+            )
+            with np.errstate(invalid="ignore"):
+                ii, jj = np.nonzero(cos >= pre)
+            keep = (ii + i0) < jj
+            ii, jj = ii[keep], jj[keep]
+            if ii.size:
+                out.append((ids[ii + i0], ids[jj], cos[ii, jj]))
+        if not out:
+            return empty
+        return pd.DataFrame(
+            {"vec_a": np.concatenate([o[0] for o in out]),
+             "vec_b": np.concatenate([o[1] for o in out]),
+             "cosine": np.concatenate([o[2] for o in out])}
+        )
+
+    verified = banded.groupBy("table_id", "bucket", block_col).applyInPandas(
+        verify, schema="vec_a long, vec_b long, cosine double"
     )
-    emb_a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    emb_b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    # join strategy left to Catalyst/AQE — see the note in
-    # dedup.minhash_near_duplicates (hints measured as pure overhead here)
-    with_a = emb_a.join(cands, "vec_a")
     return (
-        emb_b.join(with_a, "vec_b")
-        .select("vec_a", "vec_b", cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine"))
+        verified.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
