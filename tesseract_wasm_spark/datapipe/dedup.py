@@ -605,29 +605,37 @@ def minhash_near_duplicates(docs: DataFrame, *, num_perm: int = 64, bands: int =
     banded = minhash_banded(docs, num_perm=num_perm, bands=bands, ngram=ngram)
     cands = bucket_pairs(banded, ["band_id", "bucket"], max_bucket=max_bucket,
                          dropped=dropped)
-    # _spread BEFORE the shingle projection: the n-gram expression is the
-    # dominant verify-stage cost and must not evaluate on a single-partition
-    # local read (the projection stays above the exchange — Catalyst prunes
-    # columns through it but never pushes computed expressions down). Found
-    # by the 1x-vs-10x scale measurement in bench.py --minhash-scale.
-    sh = _spread(docs.select("doc_id", "text")).select(
-        "doc_id", _word_ngrams(F.col("text"), ngram).alias("shingles")
-    )
-    # verification join strategy is left to Catalyst/AQE deliberately: at
-    # bench scale the shingled corpus is broadcast (file stats say tiny);
-    # at real scale those same stats say huge, so the candidate side — orders
-    # of magnitude smaller by construction — becomes the AQE-chosen build
-    # side. Forcing broadcast hints here measured ~3s of extra broadcast-job
-    # barriers per hint on local[32] with zero plan benefit.
+    # r06 (guide §3.2 / §1.2): compute the verify-stage shingles ONLY for
+    # candidate PAIR rows. The n-gram expression is the dominant verify cost
+    # and was previously evaluated for the FULL corpus on both join sides
+    # (the shingle projection sat below the join, and Catalyst never pushes
+    # a join's implicit semi-filter beneath a computed projection) even
+    # though candidates are orders of magnitude fewer. Joining the candidate
+    # ids to the raw text first and shingling AFTER both joins evaluates the
+    # expression 2x|pairs| times instead of 2x|corpus|, moves the (shorter)
+    # text instead of shingle arrays through the join, and uses the
+    # candidate subplan exactly once. Inner joins + identical expressions =
+    # identical output.
+    #
+    # _spread keeps the text side off a single-partition local read; join
+    # strategy is left to Catalyst/AQE deliberately: at bench scale the text
+    # corpus is broadcast (file stats say tiny); at real scale those same
+    # stats say huge, so the candidate side — orders of magnitude smaller by
+    # construction — becomes the AQE-chosen build side. Forcing broadcast
+    # hints here measured ~3s of extra broadcast-job barriers per hint on
+    # local[32] with zero plan benefit.
+    txt = _spread(docs.select("doc_id", "text"))
     with_a = (
-        sh.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("shingles", "sh_a")
+        txt.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("text", "_text_a")
         .join(cands, "doc_a")
     )
     verified = (
-        sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shingles", "sh_b")
+        txt.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("text", "_text_b")
         .join(with_a, "doc_b")
+        .withColumn("sh_a", _word_ngrams(F.col("_text_a"), ngram))
+        .withColumn("sh_b", _word_ngrams(F.col("_text_b"), ngram))
         .withColumn(
             "jaccard",
             F.round(
@@ -662,7 +670,6 @@ def simhash_signatures(docs: DataFrame, *, seed: int = 2) -> DataFrame:
     segmented ``add.reduceat`` — no per-token Python anywhere."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             for lo in range(0, len(pdf), 4096):
                 sub = pdf.iloc[lo : lo + 4096]
@@ -671,12 +678,24 @@ def simhash_signatures(docs: DataFrame, *, seed: int = 2) -> DataFrame:
                 nonempty = np.flatnonzero(counts > 0)
                 if nonempty.size:
                     h64 = _splitmix64((h1 << np.uint64(31)) | h2 ^ np.uint64(seed))
-                    signs = (((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                    # r06 (guide §1.2 step 2 — per-task work): the [T, 64]
+                    # sign matrix was int64 (8 bytes/bit); unpackbits gives
+                    # the same bits as uint8, the segmented reduce counts
+                    # ONES instead of summing ±1 signs, and the majority
+                    # vote becomes 2*ones > n_tokens — integer-exact, ~5x
+                    # less memory traffic, packbits re-packs the signature.
+                    bits = np.unpackbits(
+                        h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                    )
                     starts = np.zeros(len(sub), dtype=np.int64)
                     np.cumsum(counts[:-1], out=starts[1:])
-                    votes = np.add.reduceat(signs, starts[nonempty], axis=0)
-                    bits = (votes > 0).astype(np.uint64)
-                    sigs[nonempty] = (bits << shifts).sum(axis=1)
+                    ones = np.add.reduceat(
+                        bits, starts[nonempty], axis=0, dtype=np.int64
+                    )
+                    maj = (2 * ones) > counts[nonempty, None]
+                    sigs[nonempty] = np.packbits(
+                        maj, axis=1, bitorder="little"
+                    ).view(np.uint64)[:, 0]
                 yield pd.DataFrame(
                     {"doc_id": sub["doc_id"].to_numpy(),
                      "simhash": sigs.astype(np.int64)}  # store as signed long
