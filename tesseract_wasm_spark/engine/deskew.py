@@ -51,6 +51,26 @@ def shear_shifts(xs: np.ndarray, k: int) -> np.ndarray:
     return np.floor(xs * (k / 1000.0) + 0.5).astype(np.int64)
 
 
+#: r06: process-global cache of the per-column shift table — the
+#: floor(x*k/1000 + 0.5) float evaluation over the [n_candidates, n_comps]
+#: matrix was ~40% of detection cost and depends only on (k, x); a gather
+#: from a precomputed table (grown on demand to the widest page seen, same
+#: formula via shear_shifts so values are bit-identical) replaces it.
+_SHIFT_TABLE: dict[int, np.ndarray] = {}
+
+
+def _shift_table(k_max: int, width: int) -> np.ndarray:
+    tbl = _SHIFT_TABLE.get(k_max)
+    if tbl is None or tbl.shape[1] < width:
+        ks = np.zeros(2 * k_max + 1, dtype=np.int64)
+        ks[1::2] = np.arange(1, k_max + 1)
+        ks[2::2] = -np.arange(1, k_max + 1)
+        xs = np.arange(max(width, 2048), dtype=np.int64)
+        tbl = np.floor(xs[None, :] * (ks[:, None] / 1000.0) + 0.5).astype(np.int64)
+        _SHIFT_TABLE[k_max] = tbl
+    return tbl
+
+
 def detect_shear_per_mille(comps: Components, *, k_max: int = MAX_SHEAR_PER_MILLE) -> int:
     """Estimate the page shear as an integer slope in 1/1000 rise-per-pixel.
 
@@ -65,7 +85,7 @@ def detect_shear_per_mille(comps: Components, *, k_max: int = MAX_SHEAR_PER_MILL
     ks = np.zeros(2 * k_max + 1, dtype=np.int64)
     ks[1::2] = np.arange(1, k_max + 1)
     ks[2::2] = -np.arange(1, k_max + 1)
-    adj = bottoms[None, :] - np.floor(xc[None, :] * (ks[:, None] / 1000.0) + 0.5).astype(np.int64)
+    adj = bottoms[None, :] - _shift_table(k_max, int(xc.max()) + 1)[:, xc]
     adj -= adj.min()
     width = int(adj.max()) + 1
     flat = (np.arange(len(ks))[:, None] * width + adj).ravel()
