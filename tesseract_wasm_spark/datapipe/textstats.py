@@ -56,12 +56,32 @@ def language_id(docs: DataFrame, *, extra_cols: tuple[str, ...] = ()) -> DataFra
     return scored.withColumn("pred_lang", pred)
 
 
+#: every char the punct-count class [^A-Za-z0-9\s] does NOT match (java \s
+#: is the ASCII set [ \t\n\x0B\f\r]); see _punct_count
+_NON_PUNCT_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\f\r"
+)
+
+
+def _punct_count(txt):
+    """Count of chars matching [^A-Za-z0-9\\s] WITHOUT the regex engine:
+    every match of that single-char class is one code point outside the
+    62+6-char allowed set, so deleting the allowed chars (translate) and
+    taking length gives the identical count (both sides count code points;
+    java regex classes match per code point). r06: java-regex expressions
+    measured ~11 MB/s on this environment AND serialize across tasks —
+    translate+length run at memory speed and parallelize; parity-verified
+    against the regex form (the DuckDB oracles still use the regex)."""
+    return F.length(F.translate(txt, _NON_PUNCT_CHARS, ""))
+
+
 def quality_cols(txt) -> dict:
     """Expression form of quality_score over a text column (composable —
     corpus_datasheet fuses these with gopher_cols into ONE scan)."""
     n_chars = F.length(txt)
     ws_tokens = F.size(F.split(F.trim(txt), WS_RE))
-    punct = _count_matches(txt, "[^A-Za-z0-9\\s]")
+    punct = _punct_count(txt)
     stop = _count_matches(F.lower(txt), EN_STOPWORDS_RE)
     mean_tok_len = F.round(n_chars.cast("double") / F.greatest(ws_tokens, F.lit(1)), 6)
     punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
@@ -461,8 +481,15 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
     common subplans). At 100 TB pass a PERSISTED/precomputed ``vocab``
     ((token, cnt) — e.g. text_vocab's output written once) and the plan
     drops to the inherent single scoring scan plus the tiny vocab read."""
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
+
     txt = F.col(text_col)
-    toks = docs.select(
+    # r06: a single-file local read would tokenize/explode the whole corpus
+    # in ONE task in every subtree below; _spread is a no-op on partitioned
+    # cluster input. Each document's token stream stays contiguous and
+    # in-order inside one partition, so the per-doc float-sum order (the
+    # round(avg,4) sensitivity the docstring warns about) is unchanged.
+    toks = _spread(docs).select(
         id_col,
         F.explode(F.split(F.trim(F.lower(txt)), WS_RE)).alias("token"),
     ).filter(F.col("token") != "")
@@ -474,6 +501,13 @@ def unigram_logprob(docs: DataFrame, *, text_col: str = "text",
     p = (F.col("cnt") + alpha) / (
         F.col("n_total") + alpha * (F.col("v_size") + 1)
     )
+    # The vocab broadcast stays FORCED deliberately: a shuffle join on token
+    # would scatter one document's tokens across partitions, changing the
+    # per-doc float-sum order behind round(avg,4) — the exact last-ulp
+    # nondeterminism this docstring warns about. At crawl scale callers must
+    # pass a PRUNED persisted ``vocab`` (min-count cut keeps it far under
+    # the 8 GB broadcast cap); the smoothed-floor treatment of the pruned
+    # tail is the documented 100 TB path.
     return (
         toks.join(F.broadcast(vocab), "token")
         .crossJoin(F.broadcast(totals))

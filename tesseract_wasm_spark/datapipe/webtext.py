@@ -226,11 +226,14 @@ def density_main_text_expr(html: Column) -> Column:
 def block_quality_expr(txt: Column) -> Column:
     """The textstats.quality_score composite applied to ONE block's text —
     identical constants/rounding so the DuckDB twin reproduces it exactly."""
-    from tesseract_wasm_spark.datapipe.textstats import EN_STOPWORDS_RE  # noqa: PLC0415
+    from tesseract_wasm_spark.datapipe.textstats import (  # noqa: PLC0415
+        EN_STOPWORDS_RE,
+        _punct_count,
+    )
 
     n_chars = F.length(txt)
     ws_tokens = F.size(F.split(F.trim(txt), r"\s+"))
-    punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    punct = _punct_count(txt)  # r06: regex-free, identical count
     stop = F.size(F.regexp_extract_all(F.lower(txt), F.lit(EN_STOPWORDS_RE), 0))
     punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop.cast("double") / F.greatest(ws_tokens, F.lit(1)), 6)

@@ -496,11 +496,16 @@ def sample_domain_cap(spark, sf_dir):
     """Per-source quality cap — the 'at most K documents per domain, best
     first' sampling stage of a crawl pipeline: quality composite x window
     rank inside each source, deterministic tie-break by doc_id."""
+    from tesseract_wasm_spark.datapipe.dedup import _spread  # noqa: PLC0415
     from tesseract_wasm_spark.datapipe.textstats import quality_score  # noqa: PLC0415
     from pyspark.sql import Window  # noqa: PLC0415
 
     docs = _t(spark, sf_dir, "documents")
-    scored = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # r06: the quality regexes are the dominant cost and are NOT prunable
+    # here (the window rank depends on them); a single-file local read would
+    # evaluate them all in one task — _spread is a no-op on well-partitioned
+    # cluster input and the per-doc score is partition-independent.
+    scored = quality_score(_spread(docs)).join(docs.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
