@@ -137,12 +137,12 @@ def text_digest_expr(txt) -> "F.Column":
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeper = min
-    doc_id, n_dups = group size. ``_spread`` keeps the digest expression
-    (lower + regex collapse + md5 over the full text) off a single-partition
-    local read — a no-op on well-partitioned cluster input (r06; the
-    aggregate is key-order independent, so output is unchanged)."""
+    doc_id, n_dups = group size. (r06: a pre-digest _spread was measured
+    SLOWER at both bench scales — the digest regex+md5 parallelize worse
+    than the extra shuffle costs — so the input partitioning is left to the
+    source here.)"""
     return (
-        _spread(docs).select("doc_id", text_digest_expr(F.col("text")).alias("text_md5"))
+        docs.select("doc_id", text_digest_expr(F.col("text")).alias("text_md5"))
         .groupBy("text_md5")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
     )
@@ -797,7 +797,7 @@ def line_dedup(docs: DataFrame, *, id_col: str = "doc_id",
 
     Returns (id, text, n_lines, n_kept) — text rebuilt from kept lines
     (possibly empty when every line was seen earlier)."""
-    lines = _spread(docs).select(
+    lines = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
     ).withColumn("line_hash", F.md5("line"))
     firsts = lines.groupBy("line_hash").agg(

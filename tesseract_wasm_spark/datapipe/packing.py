@@ -27,21 +27,61 @@ from tesseract_wasm_spark.datapipe.textstats import WS_RE
 TARGET_TOKENS = 2048
 
 
+#: id-range bucket width of the distributed prefix sum (numeric-id path):
+#: per-bucket windows are bounded by 2^20 ids and the per-shard bucket
+#: window by shard_id_range / 2^20 rows (10^6 rows even for a 10^12-id
+#: shard); below one bucket the plan degenerates to the classic per-shard
+#: window plus one tiny aggregate, so bench-scale inputs pay only a small
+#: fixed cost (scale-adaptive, not tuned to either size)
+BUCKET_WIDTH = 1 << 20
+
+
 def pack_sequences(docs: DataFrame, *, target_tokens: int = TARGET_TOKENS,
                    shard_col: str = "source", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   bucket_width: int = BUCKET_WIDTH) -> DataFrame:
     """One row per document: its shard, whitespace-token count, the
     training sequence its FIRST token lands in (greedy concat-and-chunk:
     ``seq_id = floor(tokens_before / target)``), and its offset inside
     that sequence. Documents spanning a boundary simply continue into the
     next sequence — exactly what the trainer's chunker does to the
-    concatenated stream, so these assignments ARE the pack manifest."""
+    concatenated stream, so these assignments ARE the pack manifest.
+
+    r06 (guide §2.5, r05 verdict item 3): the per-shard running sum is now a
+    TWO-LEVEL distributed prefix sum for numeric ids instead of one window
+    per shard — a ~20-source corpus at crawl scale previously funnelled
+    1/20th of ALL rows through a single window task. Ids are bucketed by
+    deterministic range (floor(id / width), order-preserving, no sampling);
+    per-bucket subtotals aggregate map-side; the only per-shard window runs
+    over shard_id_range / width rows (10^6 for a 10^12-id dense shard);
+    every per-bucket window is bounded by ``bucket_width`` ids. All
+    arithmetic is integer-exact, so assignments are identical to the
+    single-window form (non-numeric ids keep the classic per-shard window —
+    callers there must shard by a high-cardinality column)."""
     toks = F.size(F.split(F.trim(F.col(text_col)), WS_RE))
-    w = Window.partitionBy(shard_col).orderBy(id_col)
-    cum_before = F.sum(toks).over(w) - toks
-    return docs.select(
-        shard_col, id_col,
-        toks.alias("n_tokens"),
-        F.floor(cum_before / target_tokens).alias("seq_id"),
-        (cum_before % target_tokens).alias("offset_in_seq"),
+    id_type = {f.name: f.dataType.simpleString() for f in docs.schema.fields}[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+        cum_before = F.sum(toks).over(w) - toks
+        return docs.select(
+            shard_col, id_col,
+            toks.alias("n_tokens"),
+            F.floor(cum_before / target_tokens).alias("seq_id"),
+            (cum_before % target_tokens).alias("offset_in_seq"),
+        )
+    rows = docs.select(shard_col, id_col, toks.alias("n_tokens")).withColumn(
+        "_b1", F.floor(F.col(id_col) / bucket_width)
+    )
+    sub1 = rows.groupBy(shard_col, "_b1").agg(F.sum("n_tokens").alias("_t1"))
+    w1 = Window.partitionBy(shard_col).orderBy("_b1")
+    pre1 = sub1.withColumn("_before1", F.sum("_t1").over(w1) - F.col("_t1"))
+    w0 = Window.partitionBy(shard_col, "_b1").orderBy(id_col)
+    cum_before = F.col("_before1") + F.sum("n_tokens").over(w0) - F.col("n_tokens")
+    return (
+        rows.join(pre1.select(shard_col, "_b1", "_before1"), [shard_col, "_b1"])
+        .select(
+            shard_col, id_col, "n_tokens",
+            F.floor(cum_before / target_tokens).alias("seq_id"),
+            (cum_before % target_tokens).alias("offset_in_seq"),
+        )
     )
