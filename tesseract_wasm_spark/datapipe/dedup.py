@@ -67,22 +67,27 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
     min doc_id, the same convention as exact_duplicates).
 
     Scale shape: each iteration is one (id->label) hash join + a groupBy of
-    (id, label) LONGS — the text never enters the loop — and the iteration
-    count is the component diameter, 2-3 for real dup clusters (near-
-    cliques); ``max_iters`` bounds pathological chains. If propagation is
-    still changing labels when the bound hits (a chain longer than
-    ``max_iters`` hops), one true cluster reports as several keepers — that
-    truncation is WARN-logged with the residual changed-count so callers can
-    rerun with a higher bound instead of silently over-keeping. The
+    (id, label) LONGS — the text never enters the loop — plus (r06, r04/r05
+    carried item) a POINTER-JUMPING step: after the neighbor-min update,
+    every label is replaced by its label's label (one more longs-only hash
+    join), so label chains halve each round and convergence is
+    O(log diameter) instead of O(diameter) — a 1000-hop chain resolves in
+    ~11 iterations (pytest-pinned) instead of truncating at ``max_iters``.
+    If propagation is still changing labels when the bound hits, one true
+    cluster reports as several keepers — that truncation is WARN-logged
+    with the residual changed-count so callers can rerun with a higher
+    bound instead of silently over-keeping. The
     convergence check is one count per iteration (bounded driver work, no
     collect of rows). Returns (doc_id, cluster_id, is_keeper) for EVERY doc
-    (singletons are their own cluster). The returned frame is persisted —
-    already materialized by the final convergence check; callers that are
-    done with it may .unpersist()."""
+    (singletons are their own cluster). Each iteration's labels are
+    localCheckpoint()ed (materialized + LINEAGE TRUNCATED): the label frame
+    is consumed three times per round (neighbor lookup, label-of-label
+    side, convergence diff), so without truncation the logical plan doubles
+    every iteration and planning itself OOMs long before max_iters."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -94,15 +99,27 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
             .agg(F.min("_nl").alias("_min_nl"))
             .withColumnRenamed("src", "doc_id")
         )
+        # materialize + truncate before the self-join below consumes it twice
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_min_nl", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        ).localCheckpoint()
+        # pointer jumping: follow the label's own label (labels always point
+        # to equal-or-smaller ids, so chains shrink geometrically)
+        lbl_of = stepped.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_ll")
+        )
         new = (
-            labels.join(nbr, "doc_id", "left")
+            stepped.join(lbl_of, "cluster_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("_min_nl", F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce("_ll", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.withColumnRenamed("cluster_id", "_new")
@@ -110,7 +127,6 @@ def duplicate_clusters(pairs: DataFrame, docs: DataFrame, *,
             .filter(F.col("_new") != F.col("cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break

@@ -292,6 +292,24 @@ def test_duplicate_clusters(spark, docs):
     assert ch == {10: 10, 20: 10, 30: 10}
 
 
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """r06: pointer jumping makes convergence O(log diameter) — a 1000-hop
+    chain must fully resolve to the min label well under the default
+    max_iters=20 bound (plain propagation would need 1000 rounds and
+    truncate); max_iters=12 pins the doubling behavior."""
+    n = 1000
+    chain_docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(n)], "doc_id long, text string, source string"
+    )
+    chain_pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = dedup.duplicate_clusters(chain_pairs, chain_docs, max_iters=12)
+    labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(labels.values()) == {0}
+    assert labels[n - 1] == 0
+
+
 def test_sample_hash_deterministic(spark, docs):
     """md5-digit sampling is stable across runs and partitionings."""
     import hashlib
