@@ -129,42 +129,49 @@ def _extract_cells(mask: np.ndarray, lines: list[Line]) -> tuple[np.ndarray, lis
     Returns (cells [N, CELL_H*CELL_W] bool, index [(line_i, word_i, n_cells)]).
     Cells are aligned vertically by the line baseline: rows
     [baseline - BASELINE_ROW, baseline + (CELL_H - 1 - BASELINE_ROW)].
-    """
+
+    r06: ONE flat gather for the whole page instead of one band slice per
+    line — per-line numpy-call overhead was ~half this function's cost at
+    ~16 lines/page. The (row, col) grid of every cell-column of every word
+    indexes the raveled mask directly, with out-of-page rows/columns masked
+    to False exactly as the per-line form did (verified cell-identical on
+    random + fixture + degraded pages)."""
     h, w = mask.shape
-    blocks: list[np.ndarray] = []
-    index: list[tuple[int, int, int]] = []
+    anchors_l: list[int] = []
+    rights_l: list[int] = []
+    r0_l: list[int] = []
+    where: list[tuple[int, int]] = []
     for li, line in enumerate(lines):
         if not line.words:
             continue
         r0 = line.baseline - BASELINE_ROW
-        r1 = r0 + CELL_H
-        sr0, sr1 = max(r0, 0), min(r1, h)
-        anchors = np.fromiter(
-            ((wd.pen_left if wd.pen_left >= 0 else wd.left) for wd in line.words),
-            dtype=np.int64, count=len(line.words),
-        )
-        rights = np.fromiter((wd.right for wd in line.words), dtype=np.int64,
-                             count=len(line.words))
-        ns = np.maximum(1, -(-(rights - anchors + 1) // ADV))  # cells per word
-        spans = ns * ADV
-        # one gather per line: column index of every cell-column of every word
-        offsets = np.repeat(np.cumsum(spans) - spans, spans)
-        cols = np.arange(spans.sum()) - offsets + np.repeat(anchors, spans)
-        valid = (cols >= 0) & (cols < w)
-        cols_c = np.clip(cols, 0, w - 1)
-        full = np.zeros((CELL_H, cols.size), dtype=bool)
-        if sr0 < sr1:
-            full[sr0 - r0 : sr1 - r0, :] = mask[sr0:sr1][:, cols_c]
-        full[:, ~valid] = False
-        total = int(ns.sum())
-        # row-major reshape splits the gathered band into ADV-wide chunks;
-        # dropping the spacer column yields the glyph cells in word order
-        cells = full.reshape(CELL_H, total, ADV)[:, :, :CELL_W]
-        blocks.append(cells.transpose(1, 0, 2).reshape(total, CELL_H * CELL_W))
-        index.extend((li, wi, int(n)) for wi, n in enumerate(ns))
-    if not index:
-        return np.zeros((0, CELL_H * CELL_W), dtype=bool), index
-    return np.concatenate(blocks), index
+        for wi, wd in enumerate(line.words):
+            anchors_l.append(wd.pen_left if wd.pen_left >= 0 else wd.left)
+            rights_l.append(wd.right)
+            r0_l.append(r0)
+            where.append((li, wi))
+    if not where:
+        return np.zeros((0, CELL_H * CELL_W), dtype=bool), []
+    anchors = np.asarray(anchors_l, dtype=np.int64)
+    rights = np.asarray(rights_l, dtype=np.int64)
+    r0s = np.asarray(r0_l, dtype=np.int64)
+    ns = np.maximum(1, -(-(rights - anchors + 1) // ADV))  # cells per word
+    spans = ns * ADV
+    # column index of every cell-column of every word, page-wide
+    offsets = np.repeat(np.cumsum(spans) - spans, spans)
+    cols = np.arange(spans.sum()) - offsets + np.repeat(anchors, spans)
+    r0_col = np.repeat(r0s, spans)
+    rowgrid = r0_col[None, :] + np.arange(CELL_H, dtype=np.int64)[:, None]
+    valid = (cols[None, :] >= 0) & (cols[None, :] < w) & (rowgrid >= 0) & (rowgrid < h)
+    flat = np.clip(rowgrid, 0, h - 1) * w + np.clip(cols, 0, w - 1)[None, :]
+    vals = mask.ravel()[flat]
+    vals &= valid
+    total = int(ns.sum())
+    # row-major reshape splits the gathered band into ADV-wide chunks;
+    # dropping the spacer column yields the glyph cells in word order
+    cells = vals.reshape(CELL_H, total, ADV)[:, :, :CELL_W]
+    index = [(li, wi, int(n)) for (li, wi), n in zip(where, ns)]
+    return cells.transpose(1, 0, 2).reshape(total, CELL_H * CELL_W), index
 
 
 def recognize_words(mask: np.ndarray, lines: list[Line], *,
