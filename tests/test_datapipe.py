@@ -738,6 +738,49 @@ def test_pack_sequences_manifest(spark):
     assert (got[4]["seq_id"], got[4]["offset_in_seq"]) == (0, 0)  # new shard
 
 
+def test_pack_sequences_bucketed_prefix_matches_window(spark):
+    """r06: the distributed prefix sum must assign identically to the
+    single-window form even when ids span MANY 2^20-wide buckets (the
+    multi-bucket path a bench-sized corpus never exercises)."""
+    from pyspark.sql import Window
+
+    from tesseract_wasm_spark.datapipe import packing
+    from tesseract_wasm_spark.datapipe.textstats import WS_RE
+
+    rows = [(i * (1 << 19) + 7, "s" + str(i % 3), "w " * (37 + i * 13))
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    toks = F.size(F.split(F.trim(F.col("text")), WS_RE))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(toks).over(w) - toks
+    want = sorted(tuple(r) for r in docs.select(
+        "source", "doc_id", toks.alias("n_tokens"),
+        F.floor(cum / 2048).alias("seq_id"),
+        (cum % 2048).alias("offset_in_seq"),
+    ).collect())
+    got = sorted(tuple(r) for r in
+                 packing.pack_sequences(docs, target_tokens=2048).collect())
+    assert got == want
+
+
+def test_punct_count_matches_regex(spark):
+    """r06: the translate-based punct count must equal the regex form for
+    every input shape — ascii, unicode incl. supplementary planes, all five
+    java \\s whitespace chars, empty and NULL."""
+    from tesseract_wasm_spark.datapipe.textstats import _punct_count
+
+    rows = [("plain words only",), ("héllo, wörld! ¿qué?",),
+            ("tab\tnew\nline\x0b\x0c\rmix.,;:!?",), ("",), (None,),
+            ("emoji \U0001f600 and \U0001d518\U0001d52b sup",),
+            ("quote'd \"str\" &amp; <tag>",)]
+    df = spark.createDataFrame(rows, "text string")
+    diff = df.select(
+        (F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+         .eqNullSafe(_punct_count(F.col("text")))).alias("same")
+    ).collect()
+    assert all(r["same"] for r in diff), diff
+
+
 def test_url_quality_prunes_payload_columns(spark, tmp_path):
     """The scale claim behind url_filters: screening reads ONLY the url
     column, so the parquet scan's ReadSchema must exclude text/payload —
