@@ -66,7 +66,10 @@ def _shift_table(k_max: int, width: int) -> np.ndarray:
         ks[1::2] = np.arange(1, k_max + 1)
         ks[2::2] = -np.arange(1, k_max + 1)
         xs = np.arange(max(width, 2048), dtype=np.int64)
-        tbl = np.floor(xs[None, :] * (ks[:, None] / 1000.0) + 0.5).astype(np.int64)
+        # int32 throughout the detection hot path: shifts/bottoms/histogram
+        # indices all fit comfortably (values < 2^17), halving the [k, n]
+        # temporaries' memory traffic; detections are integer-exact either way
+        tbl = np.floor(xs[None, :] * (ks[:, None] / 1000.0) + 0.5).astype(np.int32)
         _SHIFT_TABLE[k_max] = tbl
     return tbl
 
@@ -80,7 +83,7 @@ def detect_shear_per_mille(comps: Components, *, k_max: int = MAX_SHEAR_PER_MILL
     if comps.n < MIN_COMPONENTS:
         return 0
     xc = ((comps.left + comps.right) // 2).astype(np.int64)
-    bottoms = comps.bottom.astype(np.int64)
+    bottoms = comps.bottom.astype(np.int32)
     # candidate order 0, +1, -1, +2, ... -> ties resolve to the smallest |k|
     ks = np.zeros(2 * k_max + 1, dtype=np.int64)
     ks[1::2] = np.arange(1, k_max + 1)
@@ -88,7 +91,9 @@ def detect_shear_per_mille(comps: Components, *, k_max: int = MAX_SHEAR_PER_MILL
     adj = bottoms[None, :] - _shift_table(k_max, int(xc.max()) + 1)[:, xc]
     adj -= adj.min()
     width = int(adj.max()) + 1
-    flat = (np.arange(len(ks))[:, None] * width + adj).ravel()
+    flat = (
+        np.arange(len(ks), dtype=np.int32)[:, None] * np.int32(width) + adj
+    ).ravel()
     hist = np.bincount(flat, minlength=len(ks) * width).reshape(len(ks), width)
     scores = (hist.astype(np.int64) ** 2).sum(axis=1)
     best = int(np.argmax(scores))
