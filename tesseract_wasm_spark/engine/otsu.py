@@ -29,10 +29,26 @@ def grayscale(img: np.ndarray) -> np.ndarray:
     return (acc >> 8).astype(np.uint8)
 
 
+def _hist256(gray: np.ndarray) -> np.ndarray:
+    """256-bin histogram via the uint16 pair trick: viewing byte pairs as
+    one uint16 halves the elements bincount must cast/scan (the cast to
+    intp dominates a plain uint8 bincount); the 256x256 pair table folds
+    back exactly (every pixel lands in one row- and one column-sum).
+    Identical counts, ~1.4x faster (r06)."""
+    flat = gray.reshape(-1)
+    n = flat.size
+    pairs = flat[: n - (n & 1)].view(np.uint16)
+    h16 = np.bincount(pairs, minlength=65536).reshape(256, 256)
+    hist = h16.sum(axis=0) + h16.sum(axis=1)
+    if n & 1:
+        hist[flat[-1]] += 1
+    return hist
+
+
 def otsu_threshold(gray: np.ndarray) -> int:
     """Otsu's method: threshold t maximizing inter-class variance; pixels
     <= t are ink. Returns -1 for a constant image (no ink)."""
-    hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
+    hist = _hist256(gray).astype(np.float64)
     total = hist.sum()
     if total == 0:
         return -1
