@@ -49,13 +49,23 @@ def _seq_dots(mat: np.ndarray, other: np.ndarray) -> np.ndarray:
     """[B, Q] matrix of dot products between every row of ``mat`` and every
     row of ``other`` with SEQUENTIAL per-dimension accumulation — the exact
     left-fold order of the JVM ``_dot`` expression (aggregate over zip_with),
-    so results are bit-identical to the relational formulation. One
-    vectorized [B, Q] fused multiply-add per dimension; never a BLAS matmul,
-    whose blocked/SIMD accumulation order would differ in the last ulp and
-    could flip a round(x, 4) boundary."""
-    acc = np.zeros((mat.shape[0], other.shape[0]), dtype=np.float64)
-    for k in range(mat.shape[1]):
-        acc += mat[:, k, None] * other[None, :, k]
+    so results are bit-identical to the relational formulation. Never a BLAS
+    matmul, whose blocked/SIMD accumulation order would differ in the last
+    ulp and could flip a round(x, 4) boundary. Column-tiled so the
+    accumulator tile stays cache-resident across the dimension loop (each
+    element's k-order is unchanged — bit-identical, ~2x faster than the
+    full-width passes; r06)."""
+    n, d = mat.shape
+    m = other.shape[0]
+    acc = np.empty((n, m), dtype=np.float64)
+    o_t = np.ascontiguousarray(other.T)  # [d, m]: contiguous per-k rows
+    tile = 128
+    for j0 in range(0, m, tile):
+        j1 = min(j0 + tile, m)
+        t = np.zeros((n, j1 - j0), dtype=np.float64)
+        for k in range(d):
+            t += mat[:, k, None] * o_t[k, j0:j1][None, :]
+        acc[:, j0:j1] = t
     return acc
 
 
